@@ -1,0 +1,91 @@
+"""Corpus source: deterministic interleaved-document tables, generated once
+per scale into a /tmp cache and then read back as a ray.data.Dataset.
+
+Plays the role of the reference's CityJSON readers (S1/S2 — reference
+pipelines.py:204-244): file-parallel parse becomes block-parallel generation /
+parquet scan; key standardization (pipelines.py:246-253) is the identity here
+because keys are already canonical integers-as-strings.
+
+Two sources in one table (column ``source``): 'cands' (one doc per key in the
+driving table) and 'index' (a perturbed copy for ~85% of keys — the planted
+matches — plus one extra unmatched doc per key at key+10_000_000).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from datagen.buildings import doc_spans, building_params, INDEX_EXTRA_OFFSET
+from engine.schema import SPAN_TYPE
+
+CORPUS_ROOT = "/tmp/ray_geo_corpus"
+
+
+def _gen_batch(batch: pa.Table) -> pa.Table:
+    """doc_id keys -> interleaved documents (cands + matched index + extra index)."""
+    doc_ids, sources, spans = [], [], []
+    for k in batch.column("doc_id").to_pylist():
+        k = int(k)
+        doc_ids.append(str(k))
+        sources.append("cands")
+        spans.append(doc_spans(k, "cands"))
+        if building_params(k)["matched"]:
+            doc_ids.append(str(k))
+            sources.append("index")
+            spans.append(doc_spans(k, "index"))
+        ke = k + INDEX_EXTRA_OFFSET
+        doc_ids.append(str(ke))
+        sources.append("index")
+        spans.append(doc_spans(ke, "index"))
+    return pa.table({
+        "doc_id": pa.array(doc_ids, type=pa.string()),
+        "source": pa.array(sources, type=pa.string()),
+        "spans": pa.array(spans, type=pa.list_(SPAN_TYPE)),
+    })
+
+
+def ensure_corpus(sf_dir: str, n_cands: int | None = None) -> str:
+    """Generate (once) and return the corpus parquet directory for a scale.
+
+    Keys come from ``{sf_dir}/documents.parquet`` unless ``n_cands`` forces an
+    explicit 0..n-1 key range (bench uses that for larger runs).  Generation
+    itself is a Ray pipeline: read keys -> map_batches(_gen_batch) ->
+    write_parquet, so it scales with the cluster.
+    """
+    tag = f"n{n_cands}" if n_cands else os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(CORPUS_ROOT, tag)
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_dir
+    if n_cands:
+        keys = ray.data.range(n_cands).map_batches(
+            lambda b: pa.table({"doc_id": pa.array(b["id"], type=pa.int64())}),
+            batch_format="numpy")
+    else:
+        keys = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    docs = keys.map_batches(_gen_batch, batch_format="pyarrow", batch_size=512)
+    tmp = out_dir + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+        shutil.rmtree(tmp)
+    docs.write_parquet(tmp)
+    os.rename(tmp, out_dir)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def corpus_dataset(sf_dir: str, n_cands: int | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(ensure_corpus(sf_dir, n_cands))
+
+
+def corpus_table(sf_dir: str, n_cands: int | None = None) -> pa.Table:
+    """Small-scale helper for tests: the whole corpus as one Arrow table."""
+    d = ensure_corpus(sf_dir, n_cands)
+    return pq.read_table(d)
