@@ -1,0 +1,179 @@
+"""BKAFI blocking: feature-importance-selected property vectors -> RobustScaler
+-> exact kNN -> ranked candidate-pair table.
+
+Reference: /root/reference/blocking.py.  Mapping:
+
+* RobustScaler fit on cands / transform index (blocking.py:107-112) -> exact
+  median/IQR quantiles computed over the (narrow) selected cand columns, then
+  broadcast as constants.  At 10^12 rows this becomes a t-digest sketch
+  aggregate; the two-pass shape is identical (SURVEY.md §7.4.2).
+* KDTree.query(k=21) (blocking.py:113-118) -> actor-pool brute-force kNN per
+  batch against the broadcast scaled index matrix (vectorized argpartition).
+  Tie-break: (distance, numeric index id) — defined semantics, the KDTree's
+  tie order is unspecified.
+* incremental k-prefix pair lists (blocking.py:211-230) -> one ranked nn
+  table; pairs for any k are `rank <= k` filters (no recompute).
+* SDR factor (blocking.py:166-174): cand columns scaled by the train
+  property-ratio means before the search.
+* bkafi_criterion 'feature_importance' vs 'std' (blocking.py:135-142).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from engine.geometry import PROPERTY_NAMES
+
+NN_PARAM = 21  # config.py:60-61: max cand pairs per item (20) + 1
+
+
+def robust_scale_stats(df: pd.DataFrame, cols: list[str]):
+    """(median, iqr) per column — sklearn RobustScaler defaults
+    (centering=median, scale=q75-q25); iqr of 0 degrades to 1 like sklearn."""
+    med = np.array([np.percentile(df[c].to_numpy(), 50) for c in cols])
+    q75 = np.array([np.percentile(df[c].to_numpy(), 75) for c in cols])
+    q25 = np.array([np.percentile(df[c].to_numpy(), 25) for c in cols])
+    iqr = q75 - q25
+    iqr[iqr == 0.0] = 1.0
+    return med, iqr
+
+
+def select_blocking_features(feature_importances: list[tuple[str, float]],
+                             property_ratios: dict[str, dict],
+                             bkafi_dim: int,
+                             criterion: str = "feature_importance") -> list[str]:
+    """Top-d property names.  'feature_importance': by model importance desc
+    (blocking.py:139-141); 'std': by train property-ratio std asc
+    (blocking.py:136-138; ratios are pre-sorted by std in classifier.py:231)."""
+    if criterion == "std":
+        return [p for p in list(property_ratios)[:bkafi_dim]]
+    return [f.split("_ratio")[0] for f, _ in feature_importances[:bkafi_dim]]
+
+
+def bkafi_nn_dataset(cand_props: ray.data.Dataset, index_df: pd.DataFrame,
+                     features: list[str], bkafi_dim: int,
+                     sdr_factors: np.ndarray | None = None,
+                     nn_param: int = NN_PARAM,
+                     concurrency: int = 4) -> tuple[ray.data.Dataset, float]:
+    """kNN of every cand against the index in the selected feature space.
+
+    ``cand_props`` streams; ``index_df`` (doc_id + selected columns, pandas)
+    is scaled and broadcast.  Scaler stats are fit on the cand side: a narrow
+    driver-side collect of just the selected columns (exact quantiles).
+    Returns (nn dataset with bkafi_dim/cand_id/index_id/rank/dist, exec_seconds).
+    """
+    cand_narrow = cand_props.select_columns(["doc_id", *features]).to_pandas()
+    med, iqr = robust_scale_stats(cand_narrow, features)
+
+    idx_mat = (index_df[features].to_numpy(dtype=np.float64) - med) / iqr
+    idx_ids = index_df["doc_id"].to_numpy()
+    idx_num = index_df["doc_id"].astype(np.int64).to_numpy()
+    start = time.time()
+    ref = ray.put((idx_mat, idx_ids, idx_num, med, iqr))
+    sdr = np.ones(len(features)) if sdr_factors is None else np.asarray(sdr_factors)
+
+    class KnnActor:
+        def __init__(self):
+            self.idx_mat, self.idx_ids, self.idx_num, self.med, self.iqr = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            X = np.column_stack([batch.column(c).to_numpy() for c in features])
+            X = (X * sdr - self.med) / self.iqr
+            # pairwise squared L2, vectorized
+            d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ self.idx_mat.T) \
+                + (self.idx_mat * self.idx_mat).sum(1)[None, :]
+            kk = min(nn_param, d2.shape[1])
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            rows = np.arange(len(ids))[:, None]
+            dk = d2[rows, part]
+            order = np.lexsort((self.idx_num[part], dk), axis=1)
+            top = part[rows, order]
+            dtop = np.sqrt(np.maximum(d2[rows, top], 0.0))
+            n = len(ids)
+            return pa.table({
+                "bkafi_dim": pa.array(np.full(n * kk, bkafi_dim, dtype=np.int32)),
+                "cand_id": pa.array(np.repeat(np.asarray(ids, dtype=object), kk).tolist(),
+                                    type=pa.string()),
+                "index_id": pa.array(self.idx_ids[top].ravel().tolist(), type=pa.string()),
+                "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int32), n)),
+                "dist": pa.array(dtop.ravel(), type=pa.float64()),
+            })
+
+    nn = cand_props.select_columns(["doc_id", *features]).map_batches(
+        KnnActor, batch_format="pyarrow", batch_size=2048,
+        concurrency=concurrency)
+    return nn, time.time() - start
+
+
+def pairs_from_nn(nn: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    """Candidate pairs at cutoff k = rank<=k filter over the ranked nn table
+    (the reference's incremental prefix dicts, blocking.py:211-230).
+    Adds the key-equality label (pipelines.py:433-434)."""
+    import pyarrow.compute as pc
+
+    def cut(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch.column("rank"), pa.scalar(k)))
+        lbl = pc.cast(pc.equal(batch.column("cand_id"), batch.column("index_id")),
+                      pa.int8())
+        return batch.append_column("label", lbl)
+
+    return nn.map_batches(cut, batch_format="pyarrow")
+
+
+def threshold_filter(nn: ray.data.Dataset, threshold: float) -> ray.data.Dataset:
+    """Keep neighbors with dist <= threshold (bkafi_with_threshold.py:232-255)."""
+    import pyarrow.compute as pc
+    return nn.map_batches(
+        lambda b: b.filter(pc.less_equal(b.column("dist"), pa.scalar(threshold))),
+        batch_format="pyarrow")
+
+
+def centroid_nn_dataset(cand_df: pd.DataFrame, index_df: pd.DataFrame,
+                        nn_param: int = NN_PARAM,
+                        transform: bool = False) -> pd.DataFrame:
+    """The 'centroid' / 'centroid_with_transform' exhaustive blockers
+    (blocking.py:62-92): brute-force L2 over 2D world centroids, optional
+    Kabsch/SVD rigid alignment of the cand cloud onto the index cloud."""
+    cxy = cand_df[["cx", "cy"]].to_numpy(dtype=np.float64)
+    ixy = index_df[["cx", "cy"]].to_numpy(dtype=np.float64)
+    if transform:
+        cxy = kabsch_transform(cxy, ixy)
+    d2 = (cxy * cxy).sum(1)[:, None] - 2.0 * (cxy @ ixy.T) + (ixy * ixy).sum(1)[None, :]
+    kk = min(nn_param, d2.shape[1])
+    idx_num = index_df["doc_id"].astype(np.int64).to_numpy()
+    part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+    rows = np.arange(len(cxy))[:, None]
+    order = np.lexsort((idx_num[part], d2[rows, part]), axis=1)
+    top = part[rows, order]
+    return pd.DataFrame({
+        "cand_id": np.repeat(cand_df["doc_id"].to_numpy(), kk),
+        "index_id": index_df["doc_id"].to_numpy()[top].ravel(),
+        "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(cxy)),
+        "dist": np.sqrt(np.maximum(d2[rows, top], 0.0)).ravel(),
+    })
+
+
+def kabsch_transform(source: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """SVD rigid alignment + isotropic scale of ``source`` onto ``target``'s
+    frame (the reference's centroid_with_transform step, blocking.py:78-92:
+    global means -> covariance H -> SVD -> rotation with det fix -> scale)."""
+    src_mean = source.mean(axis=0)
+    tgt_mean = target.mean(axis=0)
+    sc = source - src_mean
+    tc = target - tgt_mean
+    m = min(len(sc), len(tc))
+    H = sc[:m].T @ tc[:m]
+    U, S, Vt = np.linalg.svd(H)
+    R = U @ Vt
+    if np.linalg.det(R) < 0:
+        Vt[-1, :] *= -1
+        R = U @ Vt
+    s = np.linalg.norm(tc[:m]) / np.linalg.norm(sc[:m])
+    return s * (sc @ R) + tgt_mean

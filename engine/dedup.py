@@ -1,0 +1,282 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Ray-native shapes (ray_guide.md "Aggregation at scale"): content hash in a
+vectorized map_batches -> groupby(hash) keep-first for exact; shingle ->
+minhash -> band explode -> groupby(band) -> verify for LSH.  A corpus with
+*planted* duplicates (every doc_id % 7 == 0 re-emitted under doc_id+100000)
+makes the checks non-trivial at any scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def planted_dup_corpus(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """documents ∪ duplicates of every doc_id % 7 == 0 at doc_id+100000."""
+    def dup(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        mask = ids % 7 == 0
+        extra = batch.filter(pa.array(mask))
+        extra = extra.set_column(
+            extra.schema.get_field_index("doc_id"), "doc_id",
+            pa.array(extra.column("doc_id").to_numpy() + 100000))
+        return pa.concat_tables([batch, extra])
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        dup, batch_format="pyarrow")
+
+
+def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Keep min(doc_id) per identical text; emit (doc_id, dup_count).
+
+    Hash-partitioned: groupby on a content digest (never ships full text maps
+    anywhere); the winner row is the per-group min.
+    """
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(t.encode()).hexdigest()
+              for t in batch.column("text").to_pylist()]
+        return batch.append_column("__h", pa.array(hs))
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": [int(g["doc_id"].min())],
+                             "dup_count": [np.int64(len(g))]})
+
+    return docs.map_batches(add_hash, batch_format="pyarrow") \
+        .groupby("__h").map_groups(keep_first, batch_format="pandas")
+
+
+def _shingles(text: str, n: int = 3, pad: bool = False) -> set[str]:
+    """n-gram word shingles.  Docs shorter than n tokens produce the empty
+    set (matching the SQL oracle's generate_series semantics) unless ``pad``
+    (used by minhash, which needs >= 1 shingle per doc)."""
+    toks = text.split(" ")
+    if len(toks) < n:
+        return {" ".join(toks)} if pad else set()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
+                        n: int = 3) -> ray.data.Dataset:
+    """All-pairs n-gram Jaccard >= threshold among docs sharing a shingle.
+
+    Shape: explode (shingle, doc) -> groupby(shingle) pair generation ->
+    distinct pairs -> exact verify.  Exact Jaccard values are ratios of ints
+    (SQL-exact).  Emits (a_id, b_id, jaccard) with a_id < b_id.
+    """
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, shs, sizes = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            sh = _shingles(t, n)
+            for s in sh:
+                ids.append(d)
+                shs.append(s)
+                sizes.append(len(sh))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "shingle": pa.array(shs),
+                         "n_sh": pa.array(sizes, type=pa.int64())})
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow")
+
+    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                                 "b_id": pd.Series([], dtype="int64")})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a_id": ids[a], "b_id": ids[b]})
+
+    cand = exploded.groupby("shingle").map_groups(
+        pairs_in_group, batch_format="pandas")
+    cand_df = cand.to_pandas().drop_duplicates().reset_index(drop=True)
+
+    # verify: exact jaccard via broadcast shingle sets (candidate set is small
+    # relative to the corpus; at scale this is a bucketed join on a_id/b_id)
+    import ray
+    sh_map = {}
+    for b in docs.iter_batches(batch_format="pyarrow"):
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            sh_map[d] = _shingles(t, n)
+    ref = ray.put(sh_map)
+    cand_ds = ray.data.from_pandas(cand_df) if len(cand_df) else \
+        ray.data.from_arrow(pa.table({"a_id": pa.array([], type=pa.int64()),
+                                      "b_id": pa.array([], type=pa.int64())}))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        a = batch.column("a_id").to_pylist()
+        b = batch.column("b_id").to_pylist()
+        jac = np.empty(len(a))
+        for i, (x, y) in enumerate(zip(a, b)):
+            sa, sb = m[x], m[y]
+            inter = len(sa & sb)
+            jac[i] = inter / (len(sa) + len(sb) - inter)
+        batch = batch.append_column("jaccard", pa.array(jac, type=pa.float64()))
+        return batch.filter(pc.greater_equal(batch.column("jaccard"),
+                                             pa.scalar(threshold)))
+
+    return cand_ds.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+    return a, b
+
+
+def minhash_signatures(docs: ray.data.Dataset, num_perm: int = 64,
+                       n: int = 3) -> ray.data.Dataset:
+    """Per-doc minhash signature over n-gram shingles (vectorized perms)."""
+    a, b = _perm_params(num_perm)
+    a64 = np.asarray([int(x) for x in a], dtype=np.uint64)
+    b64 = np.asarray([int(x) for x in b], dtype=np.uint64)
+
+    def sig(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column("text").to_pylist():
+            hs = np.asarray(
+                [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                 for s in _shingles(t, n, pad=True)], dtype=np.uint64)
+            # universal hash family: (a*h + b) mod 2^64 (wraparound ok)
+            m = (hs[:, None] * a64[None, :] + b64[None, :]).min(axis=0)
+            out.append(m.astype(np.int64))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "sig": pa.array([o.tolist() for o in out],
+                            type=pa.list_(pa.int64())),
+        })
+
+    return docs.map_batches(sig, batch_format="pyarrow")
+
+
+def minhash_lsh_pairs(docs: ray.data.Dataset, num_perm: int = 64,
+                      bands: int = 16, threshold: float = 0.5,
+                      n: int = 3) -> ray.data.Dataset:
+    """Banded LSH candidate pairs, verified with exact Jaccard.
+
+    shingle -> minhash -> (band_id, band_hash, doc_id) explode ->
+    groupby(band) pairs -> dedup -> verify (ray_guide.md near-dup recipe).
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm, n)
+
+    def band_explode(batch: pa.Table) -> pa.Table:
+        ids, band_ids, band_hashes = [], [], []
+        for d, s in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("sig").to_pylist()):
+            arr = np.asarray(s, dtype=np.int64)
+            for bi in range(bands):
+                chunk = arr[bi * rows_per_band:(bi + 1) * rows_per_band]
+                ids.append(d)
+                band_ids.append(bi)
+                band_hashes.append(hashlib.md5(chunk.tobytes()).hexdigest())
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "band": pa.array(band_ids, type=pa.int32()),
+                         "bh": pa.array(band_hashes)})
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                                 "b_id": pd.Series([], dtype="int64")})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a_id": ids[a], "b_id": ids[b]})
+
+    cand = sigs.map_batches(band_explode, batch_format="pyarrow") \
+        .groupby(["band", "bh"]).map_groups(pairs_in_bucket, batch_format="pandas")
+    cand_df = cand.to_pandas().drop_duplicates().reset_index(drop=True)
+
+    import ray
+    sh_map = {}
+    for b in docs.iter_batches(batch_format="pyarrow"):
+        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            sh_map[d] = _shingles(t, n, pad=True)
+    ref = ray.put(sh_map)
+    if not len(cand_df):
+        return ray.data.from_arrow(pa.table({
+            "a_id": pa.array([], type=pa.int64()),
+            "b_id": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64())}))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        a = batch.column("a_id").to_pylist()
+        b = batch.column("b_id").to_pylist()
+        jac = np.empty(len(a))
+        for i, (x, y) in enumerate(zip(a, b)):
+            sa, sb = m[x], m[y]
+            inter = len(sa & sb)
+            jac[i] = inter / (len(sa) + len(sb) - inter)
+        batch = batch.append_column("jaccard", pa.array(jac, type=pa.float64()))
+        return batch.filter(pc.greater_equal(batch.column("jaccard"),
+                                             pa.scalar(threshold)))
+
+    return ray.data.from_pandas(cand_df).map_batches(verify, batch_format="pyarrow")
+
+
+def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """64-bit SimHash over tokens: per-bit sign sum of token hashes."""
+    def sim(batch: pa.Table) -> pa.Table:
+        out = np.empty(batch.num_rows, dtype=np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            acc = np.zeros(64, dtype=np.int64)
+            for w in t.split(" "):
+                h = np.uint64(int.from_bytes(hashlib.md5(w.encode()).digest()[:8],
+                                             "little"))
+                bits = (h >> shifts) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            bitsv = (acc > 0).astype(np.uint64)
+            out[i] = np.bitwise_or.reduce(bitsv << shifts)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "simhash": pa.array(out)})
+
+    return docs.map_batches(sim, batch_format="pyarrow")
+
+
+def embedding_near_dup(emb: ray.data.Dataset, threshold: float = 0.95,
+                       block_bits: int = 6) -> ray.data.Dataset:
+    """Embedding-cosine near-dup: random-hyperplane LSH buckets then exact
+    cosine verify within buckets (a_id < b_id, cos >= threshold)."""
+    import ray
+    rng = np.random.default_rng(11)
+    planes = rng.standard_normal((block_bits, 64))
+    planes_ref = ray.put(planes)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        bits = (vecs @ pl.T) > 0
+        key = (bits.astype(np.int64) * (1 << np.arange(block_bits))).sum(axis=1)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "bucket": pa.array(key),
+                         "embedding": batch.column("embedding")})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.asarray(g["embedding"].tolist(), dtype=np.float64)
+        ids = g["vec_id"].to_numpy()
+        nrm = np.linalg.norm(vecs, axis=1)
+        sim = (vecs @ vecs.T) / np.outer(nrm, nrm)
+        a, b = np.triu_indices(len(ids), k=1)
+        keep = sim[a, b] >= threshold
+        return pd.DataFrame({"a_id": ids[a][keep], "b_id": ids[b][keep],
+                             "cosine": sim[a, b][keep]})
+
+    return emb.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(verify, batch_format="pandas")

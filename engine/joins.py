@@ -1,0 +1,121 @@
+"""Join strategies.
+
+Two physical plans, chosen by side size (ray_guide.md patterns):
+
+* ``broadcast`` — the small side is ``ray.put`` once and looked up inside
+  ``map_batches`` (no shuffle).  Replaces the reference's dict-of-dict lookups
+  (/root/reference/process_pairs.py:62-66).
+* ``bucketed`` — both sides large: add ``bucket = stable_hash(key) % B`` to
+  both, union with a side tag, ``groupby(bucket).map_groups`` doing a local
+  hash join per bucket.  B and hot-key salting are explicit (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def stable_hash64(values) -> np.ndarray:
+    """Deterministic (process-independent) 64-bit hash of strings.
+
+    Replaces the reference's salted builtin ``hash`` in its seeded negative
+    sampler (/root/reference/data_partition.py:55-60) with a stable digest so
+    results are reproducible across runs and cluster sizes.
+    """
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        d = hashlib.md5(str(v).encode()).digest()
+        out[i] = np.frombuffer(d[:8], dtype=np.uint64)[0]
+    return out
+
+
+def broadcast_lookup(ds: ray.data.Dataset, key: str, lookup: dict,
+                     out_cols: dict[str, str], default=None) -> ray.data.Dataset:
+    """Attach columns from a broadcast {key -> tuple} mapping.
+
+    ``out_cols`` maps output column name -> index into the tuple values.
+    """
+    ref = ray.put(lookup)
+    names = list(out_cols)
+    idxs = [out_cols[n] for n in names]
+
+    def attach(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        keys = batch.column(key).to_pylist()
+        cols = {n: [] for n in names}
+        for k in keys:
+            v = table.get(k)
+            for n, i in zip(names, idxs):
+                cols[n].append(default if v is None else v[i])
+        for n in names:
+            batch = batch.append_column(n, pa.array(cols[n]))
+        return batch
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def broadcast_semi_join(ds: ray.data.Dataset, key: str, keep_keys,
+                        anti: bool = False) -> ray.data.Dataset:
+    """Semi/anti join against a broadcast key set (no shuffle)."""
+    ref = ray.put(frozenset(keep_keys))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        mask = np.fromiter((k in ks for k in batch.column(key).to_pylist()),
+                           dtype=bool, count=batch.num_rows)
+        if anti:
+            mask = ~mask
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                       left_key: str, right_key: str, num_buckets: int = 64,
+                       how: str = "inner") -> ray.data.Dataset:
+    """Partitioned hash join: explicit bucket column + one groupby shuffle.
+
+    The scale path when neither side fits in memory.  Bucket count B bounds
+    per-group memory; salt hot keys upstream if a single key dominates.
+    """
+    lschema, rschema = left.schema(), right.schema()
+    combined = {}
+    for name, typ in zip(lschema.names, lschema.types):
+        combined[name] = typ
+    for name, typ in zip(rschema.names, rschema.types):
+        combined.setdefault(name, typ)
+    order = list(combined)
+
+    def tag(side: str, key: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            h = stable_hash64(batch.column(key).to_pylist())
+            batch = batch.append_column(
+                "__bucket", pa.array((h % num_buckets).astype(np.int64)))
+            batch = batch.append_column(
+                "__side", pa.array([side] * batch.num_rows))
+            for name in order:  # align schemas for union
+                if name not in batch.column_names:
+                    batch = batch.append_column(
+                        name, pa.nulls(batch.num_rows, type=combined[name]))
+            return batch.select(order + ["__bucket", "__side"])
+        return fn
+
+    lt = left.map_batches(tag("l", left_key), batch_format="pyarrow")
+    rt = right.map_batches(tag("r", right_key), batch_format="pyarrow")
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"].drop(columns=["__side", "__bucket"])
+        rg = g[g["__side"] == "r"].drop(columns=["__side", "__bucket"])
+        lg = lg.dropna(axis=1, how="all")
+        rg = rg.dropna(axis=1, how="all")
+        out = lg.merge(rg, left_on=left_key, right_on=right_key, how=how)
+        return out
+
+    return lt.union(rt).groupby("__bucket").map_groups(
+        join_group, batch_format="pandas")

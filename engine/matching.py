@@ -1,0 +1,317 @@
+"""Deterministic numpy classifiers (no sklearn in this environment).
+
+Replaces the reference's FlexibleClassifier model zoo
+(/root/reference/classifier.py:43-54) with seeded, exact-reproducible
+implementations whose results are independent of parallelism: training runs on
+the driver over a canonically-sorted train matrix (SURVEY.md §7.4.6), exactly
+as the reference fits on the driver (classifier.py:150-163).  Prediction is
+distributed via an actor-pool map_batches (PredictActor).
+
+Provided models: RandomForest (the reference's blocking model,
+config.py:78), GradientBoosting (stumps on logistic loss), and a model
+registry + grid-search CV mirroring classifier.py:106-163's surface.
+``feature_importances_`` are impurity-gain sums like sklearn's, consumed by
+the BKAFI blocker (classifier.py:191-207).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _gini_best_split(x: np.ndarray, y: np.ndarray):
+    """Best threshold on one feature by Gini gain.  Returns
+    (gain, threshold) or None.  Vectorized prefix-sum scan."""
+    order = np.argsort(x, kind="stable")
+    xs, ys = x[order], y[order]
+    n = len(ys)
+    pos = np.cumsum(ys)
+    total_pos = pos[-1]
+    # split after position i (1..n-1), only where value changes
+    idx = np.nonzero(xs[1:] != xs[:-1])[0] + 1
+    if len(idx) == 0:
+        return None
+    nl = idx.astype(np.float64)
+    nr = n - nl
+    pl = pos[idx - 1]
+    pr = total_pos - pl
+    gini_l = 1.0 - (pl / nl) ** 2 - ((nl - pl) / nl) ** 2
+    gini_r = 1.0 - (pr / nr) ** 2 - ((nr - pr) / nr) ** 2
+    parent = 1.0 - (total_pos / n) ** 2 - ((n - total_pos) / n) ** 2
+    gain = parent - (nl / n) * gini_l - (nr / n) * gini_r
+    best = int(np.argmax(gain))
+    if gain[best] <= 0:
+        return None
+    thr = (xs[idx[best] - 1] + xs[idx[best]]) / 2.0
+    return float(gain[best]), thr
+
+
+class DecisionTree:
+    def __init__(self, max_depth=10, min_samples_split=2, max_features=None):
+        self.max_depth = max_depth
+        self.min_samples_split = min_samples_split
+        self.max_features = max_features
+        # flat node arrays: feature(-1 = leaf), threshold, left, right, proba
+        self.feature, self.threshold = [], []
+        self.left, self.right, self.proba = [], [], []
+        self.importances_ = None
+
+    def fit(self, X, y, rng):
+        n, f = X.shape
+        self.importances_ = np.zeros(f)
+        k = self.max_features or f
+        self._build(X, y, np.arange(n), 0, rng, k, n)
+        for name in ("feature", "threshold", "left", "right", "proba"):
+            setattr(self, name, np.asarray(getattr(self, name)))
+        return self
+
+    def _new_node(self):
+        for arr in (self.feature, self.threshold, self.left, self.right, self.proba):
+            arr.append(-1 if arr is self.feature else
+                       (0.0 if arr in (self.threshold, self.proba) else -1))
+        return len(self.feature) - 1
+
+    def _build(self, X, y, idx, depth, rng, k, n_total):
+        node = self._new_node()
+        ys = y[idx]
+        self.proba[node] = float(ys.mean()) if len(ys) else 0.0
+        if depth >= self.max_depth or len(idx) < self.min_samples_split \
+                or ys.min() == ys.max():
+            return node
+        feats = np.sort(rng.choice(X.shape[1], size=k, replace=False))
+        best = None
+        for fi in feats:
+            res = _gini_best_split(X[idx, fi], ys)
+            if res and (best is None or res[0] > best[0] + 1e-15):
+                best = (res[0], fi, res[1])
+        if best is None:
+            return node
+        gain, fi, thr = best
+        mask = X[idx, fi] <= thr
+        self.importances_[fi] += gain * len(idx) / n_total
+        self.feature[node] = int(fi)
+        self.threshold[node] = thr
+        self.left[node] = self._build(X, y, idx[mask], depth + 1, rng, k, n_total)
+        self.right[node] = self._build(X, y, idx[~mask], depth + 1, rng, k, n_total)
+        return node
+
+    def predict_proba(self, X):
+        out = np.empty(len(X))
+        for i, row in enumerate(X):
+            node = 0
+            while self.feature[node] >= 0:
+                node = self.left[node] if row[self.feature[node]] <= self.threshold[node] \
+                    else self.right[node]
+            out[i] = self.proba[node]
+        return out
+
+
+class RandomForest:
+    """Seeded bagged trees; deterministic regardless of num_cpus."""
+
+    def __init__(self, n_estimators=40, max_depth=10, min_samples_split=2,
+                 max_features="sqrt", random_state=1):
+        self.n_estimators = n_estimators
+        self.max_depth = max_depth
+        self.min_samples_split = min_samples_split
+        self.max_features = max_features
+        self.random_state = random_state
+
+    def get_params(self):
+        return dict(n_estimators=self.n_estimators, max_depth=self.max_depth,
+                    min_samples_split=self.min_samples_split,
+                    max_features=self.max_features, random_state=self.random_state)
+
+    def fit(self, X, y):
+        X = np.ascontiguousarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.int8)
+        f = X.shape[1]
+        k = max(1, int(np.sqrt(f))) if self.max_features == "sqrt" else f
+        self.trees_ = []
+        for t in range(self.n_estimators):
+            rng = np.random.default_rng(self.random_state * 100003 + t)
+            boot = rng.integers(0, len(X), len(X))
+            tree = DecisionTree(self.max_depth, self.min_samples_split, k)
+            tree.fit(X[boot], y[boot], rng)
+            self.trees_.append(tree)
+        imp = np.sum([t.importances_ for t in self.trees_], axis=0)
+        s = imp.sum()
+        self.feature_importances_ = imp / s if s > 0 else imp
+        return self
+
+    def predict_proba(self, X):
+        X = np.ascontiguousarray(X, dtype=np.float64)
+        return np.mean([t.predict_proba(X) for t in self.trees_], axis=0)
+
+    def predict(self, X):
+        return (self.predict_proba(X) >= 0.5).astype(np.int8)
+
+
+class GradientBoosting:
+    """Depth-limited regression trees on logistic-loss gradients."""
+
+    def __init__(self, n_estimators=60, learning_rate=0.2, max_depth=3,
+                 random_state=1):
+        self.n_estimators = n_estimators
+        self.learning_rate = learning_rate
+        self.max_depth = max_depth
+        self.random_state = random_state
+
+    def get_params(self):
+        return dict(n_estimators=self.n_estimators, learning_rate=self.learning_rate,
+                    max_depth=self.max_depth, random_state=self.random_state)
+
+    def fit(self, X, y):
+        X = np.ascontiguousarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        self.f0_ = 0.0
+        pred = np.zeros(len(y))
+        self.trees_ = []
+        f = X.shape[1]
+        imp = np.zeros(f)
+        for t in range(self.n_estimators):
+            p = 1.0 / (1.0 + np.exp(-pred))
+            resid = y - p
+            rng = np.random.default_rng(self.random_state * 100003 + t)
+            tree = _RegressionTree(self.max_depth)
+            tree.fit(X, resid, rng)
+            step = tree.predict(X)
+            pred += self.learning_rate * step
+            imp += tree.importances_
+            self.trees_.append(tree)
+        s = imp.sum()
+        self.feature_importances_ = imp / s if s > 0 else imp
+        return self
+
+    def predict_proba(self, X):
+        X = np.ascontiguousarray(X, dtype=np.float64)
+        pred = np.zeros(len(X))
+        for tree in self.trees_:
+            pred += self.learning_rate * tree.predict(X)
+        return 1.0 / (1.0 + np.exp(-pred))
+
+    def predict(self, X):
+        return (self.predict_proba(X) >= 0.5).astype(np.int8)
+
+
+class _RegressionTree:
+    def __init__(self, max_depth):
+        self.max_depth = max_depth
+        self.nodes = []
+        self.importances_ = None
+
+    def fit(self, X, r, rng):
+        self.importances_ = np.zeros(X.shape[1])
+        self._n_total = len(r)
+        self._build(X, r, np.arange(len(r)), 0)
+        return self
+
+    def _build(self, X, r, idx, depth):
+        node = len(self.nodes)
+        self.nodes.append([-1, 0.0, -1, -1, float(r[idx].mean()) if len(idx) else 0.0])
+        if depth >= self.max_depth or len(idx) < 4:
+            return node
+        best = None
+        for fi in range(X.shape[1]):
+            x = X[idx, fi]
+            order = np.argsort(x, kind="stable")
+            xs, rs = x[order], r[idx][order]
+            cut = np.nonzero(xs[1:] != xs[:-1])[0] + 1
+            if not len(cut):
+                continue
+            csum = np.cumsum(rs)
+            tot = csum[-1]
+            nl = cut.astype(np.float64)
+            nr = len(rs) - nl
+            sl = csum[cut - 1]
+            sr = tot - sl
+            gain = sl * sl / nl + sr * sr / nr - tot * tot / len(rs)
+            b = int(np.argmax(gain))
+            if gain[b] > 1e-12 and (best is None or gain[b] > best[0] + 1e-15):
+                best = (float(gain[b]), fi, (xs[cut[b] - 1] + xs[cut[b]]) / 2.0)
+        if best is None:
+            return node
+        gain, fi, thr = best
+        self.importances_[fi] += gain / self._n_total
+        mask = X[idx, fi] <= thr
+        self.nodes[node][0] = fi
+        self.nodes[node][1] = thr
+        self.nodes[node][2] = self._build(X, r, idx[mask], depth + 1)
+        self.nodes[node][3] = self._build(X, r, idx[~mask], depth + 1)
+        return node
+
+    def predict(self, X):
+        out = np.empty(len(X))
+        for i, row in enumerate(X):
+            n = 0
+            while self.nodes[n][0] >= 0:
+                n = self.nodes[n][2] if row[self.nodes[n][0]] <= self.nodes[n][1] \
+                    else self.nodes[n][3]
+            out[i] = self.nodes[n][4]
+        return out
+
+
+MODEL_REGISTRY = {
+    "RandomForest": RandomForest,
+    "GradientBoosting": GradientBoosting,
+}
+
+
+def f1_binary(y_true, y_pred):
+    tp = int(((y_true == 1) & (y_pred == 1)).sum())
+    fp = int(((y_true == 0) & (y_pred == 1)).sum())
+    fn = int(((y_true == 1) & (y_pred == 0)).sum())
+    p = tp / (tp + fp) if tp + fp else 0.0
+    r = tp / (tp + fn) if tp + fn else 0.0
+    return 2 * p * r / (p + r) if p + r else 0.0, p, r
+
+
+def grid_search_fit(model_name: str, grid: dict, X, y, cv: int = 3, seed: int = 1):
+    """Tiny deterministic GridSearchCV analogue (classifier.py:150-163):
+    k-fold CV scored by binary F1, best params re-fit on all data."""
+    from itertools import product
+    cls = MODEL_REGISTRY[model_name]
+    keys = sorted(grid)
+    n = len(y)
+    fold = np.arange(n) % cv
+    best = None
+    for combo in product(*(grid[k] for k in keys)):
+        params = dict(zip(keys, combo))
+        scores = []
+        for f in range(cv):
+            tr, te = fold != f, fold == f
+            m = cls(random_state=seed, **params).fit(X[tr], y[tr])
+            scores.append(f1_binary(y[te], m.predict(X[te]))[0])
+        score = float(np.mean(scores))
+        if best is None or score > best[0] + 1e-12:
+            best = (score, params)
+    model = cls(random_state=seed, **best[1]).fit(X, y)
+    return model, best[1], best[0]
+
+
+def predict_dataset(ds: ray.data.Dataset, model, feature_cols: list[str],
+                    concurrency: int = 4, batch_size: int = 8192,
+                    proba: bool = False) -> ray.data.Dataset:
+    """Distributed inference: model broadcast once, actor pool per batch
+    (the reference's classifier.predict loop — classifier.py:132-135 — as a
+    map_batches stage)."""
+    model_ref = ray.put(model)
+
+    class PredictActor:
+        def __init__(self):
+            self.model = ray.get(model_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            X = np.column_stack([batch.column(c).to_numpy() for c in feature_cols])
+            batch = batch.append_column(
+                "pred", pa.array(self.model.predict(X).astype(np.int8), type=pa.int8()))
+            if proba:
+                batch = batch.append_column(
+                    "proba", pa.array(self.model.predict_proba(X), type=pa.float64()))
+            return batch
+
+    return ds.map_batches(PredictActor, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)

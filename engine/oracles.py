@@ -68,3 +68,185 @@ SELECT CAST(k AS VARCHAR) AS doc_id,
   y0 + l/2 AS cy
 FROM d WHERE k % 5 = 0
 """
+
+
+GEO_TILES = _DIMS_ALL + """
+, c AS (
+  SELECT k, CAST(floor(x0 / 64) AS BIGINT) AS ix, CAST(floor(y0 / 64) AS BIGINT) AS iy FROM d
+  UNION
+  SELECT k, CAST(floor((x0 + w) / 64) AS BIGINT), CAST(floor(y0 / 64) AS BIGINT) FROM d
+  UNION
+  SELECT k, CAST(floor(x0 / 64) AS BIGINT), CAST(floor((y0 + l) / 64) AS BIGINT) FROM d
+  UNION
+  SELECT k, CAST(floor((x0 + w) / 64) AS BIGINT), CAST(floor((y0 + l) / 64) AS BIGINT) FROM d
+)
+SELECT CAST(k AS VARCHAR) AS doc_id,
+       (CAST(11 AS BIGINT) << 52) | (ix << 26) | iy AS cell
+FROM c
+"""
+
+GEO_PIP = _DIMS_ALL + """
+, p AS (
+  SELECT k AS p_id,
+         x0 + ((k * 48271 + 11) % 320) / 8.0 + 0.0625 AS px,
+         y0 + ((k * 69621 + 13) % 320) / 8.0 + 0.0625 AS py
+  FROM d
+)
+SELECT p.p_id, CAST(d.k AS VARCHAR) AS doc_id
+FROM p, d
+WHERE p.px > d.x0 AND p.px < d.x0 + d.w
+  AND p.py > d.y0 AND p.py < d.y0 + d.l
+"""
+
+# spatial kNN among flat-roof docs: cands vs index (perturbed matched copies +
+# unmatched extras at key+10_000_000), k=5, ties by numeric index id
+_GEO_KNN_SIDES = """
+WITH hc AS (
+  SELECT doc_id AS k, (doc_id * 2654435761 + 12345) AS hv,
+         ((doc_id * 1000003 + 7) % 1000000007) * 1103515245 + 54321 AS h2
+  FROM documents WHERE doc_id % 5 = 0
+), cands AS (
+  SELECT CAST(k AS VARCHAR) AS cand_id,
+    CAST(h2 % 99000 AS DOUBLE) + (4 + (hv % 24) + ((hv // 24) % 8) / 8.0) / 2 AS cx,
+    CAST((h2 // 99000) % 99000 AS DOUBLE) + (5 + ((hv // 192) % 30) + ((hv // 1536) % 8) / 8.0) / 2 AS cy
+  FROM hc
+), matched AS (
+  SELECT CAST(k AS VARCHAR) AS index_id, k AS knum,
+    CAST(h2 % 99000 AS DOUBLE)
+      + ((4 + (hv % 24) + ((hv // 24) % 8) / 8.0) + (((h2 // 9801000000) % 3) - 1) / 8.0) / 2 AS cx,
+    CAST((h2 // 99000) % 99000 AS DOUBLE)
+      + ((5 + ((hv // 192) % 30) + ((hv // 1536) % 8) / 8.0) + ((((h2 // 9801000000) // 3) % 3) - 1) / 8.0) / 2 AS cy
+  FROM hc
+  WHERE (((h2 // 9801000000) // 27) % 100) < 85
+), he AS (
+  SELECT (doc_id + 10000000) AS k,
+         ((doc_id + 10000000) * 2654435761 + 12345) AS hv,
+         (((doc_id + 10000000) * 1000003 + 7) % 1000000007) * 1103515245 + 54321 AS h2
+  FROM documents WHERE doc_id % 5 = 0
+), extras AS (
+  SELECT CAST(k AS VARCHAR) AS index_id, k AS knum,
+    CAST(h2 % 99000 AS DOUBLE) + (4 + (hv % 24) + ((hv // 24) % 8) / 8.0) / 2 AS cx,
+    CAST((h2 // 99000) % 99000 AS DOUBLE) + (5 + ((hv // 192) % 30) + ((hv // 1536) % 8) / 8.0) / 2 AS cy
+  FROM he
+), idx AS (
+  SELECT * FROM matched UNION ALL SELECT * FROM extras
+)
+"""
+
+GEO_KNN = _GEO_KNN_SIDES + """
+, j AS (
+  SELECT c.cand_id, i.index_id,
+         (c.cx - i.cx) * (c.cx - i.cx) + (c.cy - i.cy) * (c.cy - i.cy) AS dist2,
+         row_number() OVER (
+           PARTITION BY c.cand_id
+           ORDER BY (c.cx - i.cx) * (c.cx - i.cx) + (c.cy - i.cy) * (c.cy - i.cy),
+                    i.knum) AS rnk
+  FROM cands c CROSS JOIN idx i
+)
+SELECT cand_id, index_id, CAST(rnk AS INTEGER) AS rank, dist2
+FROM j WHERE rnk <= 5
+"""
+
+REL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       SUM(l_quantity) AS sum_qty,
+       MAX(l_extendedprice) AS max_price,
+       SUM(l_quantity) / COUNT(*) AS avg_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+REL_ORDERS_BY_NATION = """
+SELECT n_name, COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+REL_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+REL_EVENTS_HOURLY = """
+SELECT event_type, epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+"""
+
+REL_CUSTOMERS_WITH_ORDERS = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+"""
+
+REL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+"""
+
+REL_PART_BRAND_AGG = """
+SELECT p_brand, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+TEXT_STATS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       len(list_filter(string_split(text, ' '), x -> x = 'the')) AS n_stop,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS quality
+FROM documents
+"""
+
+_DUP_CORPUS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+DEDUP_EXACT = _DUP_CORPUS + """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM corpus GROUP BY text
+"""
+
+DEDUP_NGRAM = _DUP_CORPUS + """
+, t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM t),
+sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS s FROM g),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.a_id, p.b_id,
+       CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+FROM pairs p
+JOIN sz sa ON sa.doc_id = p.a_id
+JOIN sz sb ON sb.doc_id = p.b_id
+WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.6
+"""
+
+SIM_KNN = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 20
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), j AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qv, e.v) AS sim
+  FROM q CROSS JOIN e
+), r AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+  FROM j
+)
+SELECT qid, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rank
+FROM r WHERE rnk <= 10
+"""

@@ -1,0 +1,101 @@
+"""Pair feature stage: (cand_id, index_id) pairs -> ratio feature vectors.
+
+Reference semantics (/root/reference/process_pairs.py:42-66): for each of the
+25 properties, feature = min(1000, round(cand_val / index_val, 3)); any error
+(division by zero) -> 0.0.  Feature order = property order
+(utils.get_feature_name_list / config.py:44-49).
+
+Physical plan: property tables are broadcast as {doc_id -> float64[25]}
+matrices (ray.put once, read per actor — the reference re-ships its whole
+dict per Pool task, object_properties.py:43-48, which we avoid) and the ratio
+kernel is fully vectorized per batch.  For index sides too large to
+broadcast, use joins.bucketed_hash_join twice instead (documented scale path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from engine.geometry import PROPERTY_NAMES
+
+MAX_RATIO_VAL = 1000.0  # reference config.py:23
+RATIO_FEATURE_NAMES = [f"{p}_ratio" for p in PROPERTY_NAMES]
+
+
+def props_matrix(props_df: pd.DataFrame) -> tuple[dict, np.ndarray]:
+    """{doc_id -> row index} + float64 (n, 25) matrix from a property table."""
+    ids = {d: i for i, d in enumerate(props_df["doc_id"].tolist())}
+    mat = props_df[PROPERTY_NAMES].to_numpy(dtype=np.float64)
+    return ids, mat
+
+
+def ratio_features(cand_vals: np.ndarray, index_vals: np.ndarray) -> np.ndarray:
+    """Vectorized reference ratio kernel: round(c/i, 3) clipped at 1000;
+    i == 0 -> 0.0 (the reference's except-branch, process_pairs.py:51-53)."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = cand_vals / index_vals
+    r = np.round(r, 3)
+    r = np.minimum(r, MAX_RATIO_VAL)
+    r[~np.isfinite(r)] = 0.0
+    r[index_vals == 0.0] = 0.0
+    return r
+
+
+def pair_features_dataset(pairs: ray.data.Dataset,
+                          cand_props: pd.DataFrame,
+                          index_props: pd.DataFrame,
+                          concurrency: int = 4) -> ray.data.Dataset:
+    """pairs (cand_id, index_id, ...) -> + 25 `<prop>_ratio` columns."""
+    c_ids, c_mat = props_matrix(cand_props)
+    i_ids, i_mat = props_matrix(index_props)
+    ref = ray.put((c_ids, c_mat, i_ids, i_mat))
+
+    class RatioActor:
+        def __init__(self):
+            self.c_ids, self.c_mat, self.i_ids, self.i_mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cand = batch.column("cand_id").to_pylist()
+            index = batch.column("index_id").to_pylist()
+            ci = np.fromiter((self.c_ids[c] for c in cand), dtype=np.int64,
+                             count=len(cand))
+            ii = np.fromiter((self.i_ids[i] for i in index), dtype=np.int64,
+                             count=len(index))
+            feats = ratio_features(self.c_mat[ci], self.i_mat[ii])
+            for j, name in enumerate(RATIO_FEATURE_NAMES):
+                batch = batch.append_column(
+                    name, pa.array(feats[:, j], type=pa.float64()))
+            return batch
+
+    return pairs.map_batches(RatioActor, batch_format="pyarrow",
+                             batch_size=16384, concurrency=concurrency)
+
+
+def concatenation_features_dataset(pairs: ray.data.Dataset,
+                                   cand_props: pd.DataFrame,
+                                   index_props: pd.DataFrame) -> ray.data.Dataset:
+    """The reference's 'concatenation' operator variant
+    (process_pairs.py:30-40): [cand props..., index props...] columns."""
+    c_ids, c_mat = props_matrix(cand_props)
+    i_ids, i_mat = props_matrix(index_props)
+    ref = ray.put((c_ids, c_mat, i_ids, i_mat))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        c_ids_, c_mat_, i_ids_, i_mat_ = ray.get(ref)
+        cand = batch.column("cand_id").to_pylist()
+        index = batch.column("index_id").to_pylist()
+        ci = np.fromiter((c_ids_[c] for c in cand), dtype=np.int64, count=len(cand))
+        ii = np.fromiter((i_ids_[i] for i in index), dtype=np.int64, count=len(index))
+        for j, p in enumerate(PROPERTY_NAMES):
+            batch = batch.append_column(f"{p}_cand",
+                                        pa.array(c_mat_[ci, j], type=pa.float64()))
+        for j, p in enumerate(PROPERTY_NAMES):
+            batch = batch.append_column(f"{p}_index",
+                                        pa.array(i_mat_[ii, j], type=pa.float64()))
+        return batch
+
+    return pairs.map_batches(attach, batch_format="pyarrow", batch_size=16384)

@@ -1,0 +1,306 @@
+"""Query registry: every entry in __ray_entry__.queries() is implemented here.
+
+Each callable takes ``sf_dir`` and returns a Dataset / DataFrame / Arrow
+table.  Column names match the oracle SQL in engine.oracles exactly (the
+driver's value-hash sorts columns by name).  Geo queries run over the
+deterministic interleaved-document corpus derived from the sf's `documents`
+table (engine.corpus); relational/dedup/text/similarity queries run over the
+sf parquet tables directly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from engine import dedup, relational, similarity, spatial, text
+from engine.corpus import corpus_dataset
+from engine.geometry import PROPERTY_NAMES
+from engine.properties import properties_dataset
+
+EXACT_PROP_COLS = [
+    "bounding_box_width", "bounding_box_length", "area", "perimeter",
+    "perimeter_ind", "volume", "convex_hull_area", "convex_hull_volume",
+    "height_diff", "num_floors", "axes_symmetry", "compactness_2d",
+    "compactness_3d", "density", "shape_ind", "hemisphericality",
+    "num_vertices",
+]
+
+_PROPS_CACHE: dict[str, ray.data.MaterializedDataset] = {}
+
+
+def _props(sf_dir: str) -> ray.data.Dataset:
+    if sf_dir not in _PROPS_CACHE:
+        _PROPS_CACHE[sf_dir] = properties_dataset(
+            corpus_dataset(sf_dir)).materialize()
+    return _PROPS_CACHE[sf_dir]
+
+
+def _flat_cands(props: ray.data.Dataset) -> ray.data.Dataset:
+    import pyarrow.compute as pc
+
+    def filt(b: pa.Table) -> pa.Table:
+        ids = np.asarray([int(d) for d in b.column("doc_id").to_pylist()])
+        mask = (np.asarray(b.column("source").to_pylist()) == "cands") \
+            & (ids % 5 == 0)
+        return b.filter(pa.array(mask))
+
+    return props.map_batches(filt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# geo queries
+# ---------------------------------------------------------------------------
+
+def geo_properties(sf_dir: str):
+    """SQL-exact subset: 17 closed-form property columns, flat-roof cands."""
+    return _flat_cands(_props(sf_dir)).select_columns(
+        ["doc_id", *EXACT_PROP_COLS])
+
+
+def geo_properties_all(sf_dir: str):
+    """All 25 properties, both sources (rows-only check)."""
+    return _props(sf_dir).select_columns(["doc_id", "source", *PROPERTY_NAMES])
+
+
+def geo_centroids(sf_dir: str):
+    return _flat_cands(_props(sf_dir)).select_columns(["doc_id", "cx", "cy"])
+
+
+def geo_tiles(sf_dir: str):
+    """Raster<->vector tiling: footprint bbox cover at res 11 (64 m cells)."""
+    import pyarrow.compute as pc
+    props = _props(sf_dir)
+
+    def cands_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("source"), pa.scalar("cands")))
+
+    return spatial.tiles_dataset(
+        props.map_batches(cands_only, batch_format="pyarrow"), res=11)
+
+
+def geo_pip(sf_dir: str):
+    """Point-in-polygon join: per-doc probe points vs all cand footprints."""
+    props = _props(sf_dir)
+    import pyarrow.compute as pc
+
+    def mk_points(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("source"), pa.scalar("cands")))
+        ks = np.asarray([int(d) for d in b.column("doc_id").to_pylist()])
+        x0 = b.column("x0").to_numpy()
+        y0 = b.column("y0").to_numpy()
+        px = x0 + ((ks * 48271 + 11) % 320) / 8.0 + 0.0625
+        py = y0 + ((ks * 69621 + 13) % 320) / 8.0 + 0.0625
+        return pa.table({"p_id": pa.array(ks, type=pa.int64()),
+                         "px": pa.array(px, type=pa.float64()),
+                         "py": pa.array(py, type=pa.float64())})
+
+    def mk_polys(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("source"), pa.scalar("cands")))
+        x0 = b.column("x0").to_numpy()
+        y0 = b.column("y0").to_numpy()
+        w = b.column("bounding_box_width").to_numpy()
+        l = b.column("bounding_box_length").to_numpy()
+        rings = [[float(a), float(c), float(a + ww), float(c),
+                  float(a + ww), float(c + ll), float(a), float(c + ll)]
+                 for a, c, ww, ll in zip(x0, y0, w, l)]
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "poly": pa.array(rings, type=pa.list_(pa.float64()))})
+
+    points = props.map_batches(mk_points, batch_format="pyarrow")
+    polys = props.map_batches(mk_polys, batch_format="pyarrow")
+    return spatial.pip_join(points, polys, res=11)
+
+
+def geo_knn_spatial(sf_dir: str):
+    """Spatial kNN join (ring expansion): flat cands -> 5 nearest flat index
+    docs by world centroid."""
+    props = _props(sf_dir)
+    pdf = props.to_pandas()
+    ids = pdf.doc_id.astype(np.int64)
+    flat = pdf[(ids % 5 == 0).to_numpy()]
+    cand_df = flat[flat.source == "cands"][["doc_id", "cx", "cy"]]
+    index_df = flat[flat.source == "index"][["doc_id", "cx", "cy"]].reset_index(drop=True)
+    cands = ray.data.from_pandas(cand_df.reset_index(drop=True))
+    return spatial.knn_join(cands, index_df, k=5, res=8)
+
+
+_FIXED_BLOCK_FEATURES = ["volume", "area", "height_diff", "bounding_box_width",
+                         "bounding_box_length", "convex_hull_volume"]
+
+
+def geo_block_bkafi(sf_dir: str):
+    """Feature-space kNN blocking table (fixed 6-dim key set, scaler fit on
+    cands): (bkafi_dim, cand_id, index_id, rank, dist).  Rows-only."""
+    from engine import blocking as blk
+    props = _props(sf_dir)
+    pdf = props.to_pandas()
+    cand_df = pdf[pdf.source == "cands"]
+    index_df = pdf[pdf.source == "index"].reset_index(drop=True)
+    cands = ray.data.from_pandas(
+        cand_df[["doc_id", *_FIXED_BLOCK_FEATURES]].reset_index(drop=True))
+    nn, _ = blk.bkafi_nn_dataset(cands, index_df, _FIXED_BLOCK_FEATURES,
+                                 bkafi_dim=6)
+    return nn
+
+
+def geo_match(sf_dir: str):
+    """End-to-end blocking->matching: candidate pairs with label + prediction
+    (rows-only; quality asserted in tests)."""
+    from engine.pipeline import run_flagship
+    res = run_flagship(sf_dir, seed=1, bkafi_dim=6, k=5)
+    return res["scored"].select_columns(
+        ["cand_id", "index_id", "rank", "label", "pred"])
+
+
+def geo_blocking_metrics(sf_dir: str):
+    """Blocking recall / PC@K table for the flagship run (rows-only)."""
+    from engine.pipeline import run_flagship
+    res = run_flagship(sf_dir, seed=1, bkafi_dim=6, k=20)
+    return res["blocking_recall"]
+
+
+# ---------------------------------------------------------------------------
+# relational / text / dedup / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+
+
+def q_lineitem_agg(sf_dir: str):
+    return relational.lineitem_agg(sf_dir)
+
+
+def q_orders_by_nation(sf_dir: str):
+    return relational.orders_by_nation(sf_dir)
+
+
+def q_top_orders(sf_dir: str):
+    return relational.top_orders(sf_dir)
+
+
+def q_events_hourly(sf_dir: str):
+    return relational.events_hourly(sf_dir)
+
+
+def q_customers_with_orders(sf_dir: str):
+    return relational.customers_with_orders(sf_dir)
+
+
+def q_customers_without_orders(sf_dir: str):
+    return relational.customers_with_orders(sf_dir, anti=True)
+
+
+def q_part_brand_agg(sf_dir: str):
+    return relational.supplier_part_join(sf_dir)
+
+
+def text_stats(sf_dir: str):
+    return text.text_stats(_docs(sf_dir))
+
+
+def text_langid(sf_dir: str):
+    return text.lang_id(_docs(sf_dir))
+
+
+def text_fingerprint(sf_dir: str):
+    return text.fingerprint(_docs(sf_dir))
+
+
+def dedup_exact(sf_dir: str):
+    return dedup.exact_dedup(dedup.planted_dup_corpus(_docs(sf_dir)))
+
+
+def dedup_ngram(sf_dir: str):
+    return dedup.ngram_jaccard_pairs(dedup.planted_dup_corpus(_docs(sf_dir)),
+                                     threshold=0.6)
+
+
+def dedup_minhash(sf_dir: str):
+    return dedup.minhash_lsh_pairs(dedup.planted_dup_corpus(_docs(sf_dir)),
+                                   threshold=0.5)
+
+
+def dedup_simhash(sf_dir: str):
+    return dedup.simhash_signatures(dedup.planted_dup_corpus(_docs(sf_dir)))
+
+
+def dedup_embedding(sf_dir: str):
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return dedup.embedding_near_dup(emb, threshold=0.45)
+
+
+def sim_knn_cosine(sf_dir: str):
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+    return similarity.brute_knn(emb, query_ids=list(range(20)), k=10)
+
+
+def sim_knn_lsh(sf_dir: str):
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+    return similarity.lsh_knn(emb, query_ids=list(range(20)), k=10)
+
+
+def multimodal_features(sf_dir: str):
+    from engine.multimodal import media_features
+    return media_features(corpus_dataset(sf_dir))
+
+
+QUERIES = {
+    "geo_properties": geo_properties,
+    "geo_properties_all": geo_properties_all,
+    "geo_centroids": geo_centroids,
+    "geo_tiles": geo_tiles,
+    "geo_pip": geo_pip,
+    "geo_knn_spatial": geo_knn_spatial,
+    "geo_block_bkafi": geo_block_bkafi,
+    "geo_match": geo_match,
+    "geo_blocking_metrics": geo_blocking_metrics,
+    "q_lineitem_agg": q_lineitem_agg,
+    "q_orders_by_nation": q_orders_by_nation,
+    "q_top_orders": q_top_orders,
+    "q_events_hourly": q_events_hourly,
+    "q_customers_with_orders": q_customers_with_orders,
+    "q_customers_without_orders": q_customers_without_orders,
+    "q_part_brand_agg": q_part_brand_agg,
+    "text_stats": text_stats,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram": dedup_ngram,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+    "sim_knn_cosine": sim_knn_cosine,
+    "sim_knn_lsh": sim_knn_lsh,
+    "multimodal_features": multimodal_features,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    from engine import oracles as o
+    return {
+        "geo_properties": o.GEO_PROPERTIES,
+        "geo_centroids": o.GEO_CENTROIDS,
+        "geo_tiles": o.GEO_TILES,
+        "geo_pip": o.GEO_PIP,
+        "geo_knn_spatial": o.GEO_KNN,
+        "q_lineitem_agg": o.REL_LINEITEM_AGG,
+        "q_orders_by_nation": o.REL_ORDERS_BY_NATION,
+        "q_top_orders": o.REL_TOP_ORDERS,
+        "q_events_hourly": o.REL_EVENTS_HOURLY,
+        "q_customers_with_orders": o.REL_CUSTOMERS_WITH_ORDERS,
+        "q_customers_without_orders": o.REL_CUSTOMERS_WITHOUT_ORDERS,
+        "q_part_brand_agg": o.REL_PART_BRAND_AGG,
+        "text_stats": o.TEXT_STATS,
+        "dedup_exact": o.DEDUP_EXACT,
+        "dedup_ngram": o.DEDUP_NGRAM,
+        "sim_knn_cosine": o.SIM_KNN,
+    }

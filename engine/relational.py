@@ -1,0 +1,116 @@
+"""Relational pipelines over the TPC-H-ish test tables — the engine's generic
+groupby / join / sort / window surface, SQL-oracle-checked.
+
+Design for hash-safe comparisons: aggregate only order-insensitive-exact
+quantities (counts, integer-valued sums, min/max, exact ratios) so
+parallel-partial aggregation order can never flip a bit vs the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from engine.joins import broadcast_lookup, broadcast_semi_join
+
+
+def _t(sf_dir: str, name: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                                 columns=columns)
+
+
+def lineitem_agg(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1 shape: per (returnflag, linestatus): row count, exact qty sum,
+    qty mean (exact int ratio), max extendedprice."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Count(alias_name="n"),
+        Sum("l_quantity", alias_name="sum_qty"),
+        Max("l_extendedprice", alias_name="max_price"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        avg = pc.divide(batch.column("sum_qty"),
+                        pc.cast(batch.column("n"), pa.float64()))
+        return batch.append_column("avg_qty", avg)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def orders_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """orders ⋈ customer ⋈ nation (both dimension sides broadcast — no
+    shuffle), grouped by nation name."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _t(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_map = dict(zip(cust.c_custkey, ((int(v),) for v in cust.c_nationkey)))
+    nat_map = dict(zip(nation.n_nationkey.astype(int), ((v,) for v in nation.n_name)))
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = broadcast_lookup(orders, "o_custkey", cust_map, {"c_nationkey": 0})
+    orders = broadcast_lookup(orders, "c_nationkey", nat_map, {"n_name": 0})
+    return orders.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"),
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price"),
+    )
+
+
+def top_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Top-k orders by totalprice (ties broken by orderkey)."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(k)
+
+
+def events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1h window per event_type: count + value min/max.
+
+    Ray Data has no event-time windows (SURVEY.md §2.9); tumbling windows are
+    a bucket column + groupby — the documented streaming-shaped recipe."""
+    ds = _t(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.int64())
+        hour = pc.divide(us, pa.scalar(3_600_000_000, type=pa.int64()))
+        return batch.append_column("hour", hour)
+
+    return ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]).aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+
+
+def customers_with_orders(sf_dir: str, anti: bool = False,
+                          min_total: float = 450000.0) -> ray.data.Dataset:
+    """Semi (or anti) join: customers having (no) high-value orders
+    (o_totalprice > min_total); the key set is broadcast — no shuffle."""
+    import pyarrow.compute as _pc
+    keys = set()
+    for b in _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+            .iter_batches(batch_format="pyarrow"):
+        b = b.filter(_pc.greater(b.column("o_totalprice"), pa.scalar(min_total)))
+        keys.update(b.column("o_custkey").to_pylist())
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    return broadcast_semi_join(cust, "c_custkey", keys, anti=anti)
+
+
+def supplier_part_join(sf_dir: str) -> ray.data.Dataset:
+    """A both-sides-distributed join through the explicit bucketed hash join
+    (the scale path): lineitem ⋈ part on partkey, grouped by brand."""
+    from engine.joins import bucketed_hash_join
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = bucketed_hash_join(li, part, "l_partkey", "p_partkey",
+                                num_buckets=16)
+    return joined.groupby("p_brand").aggregate(
+        Count(alias_name="n"),
+        Sum("l_quantity", alias_name="sum_qty"),
+    )

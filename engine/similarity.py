@@ -1,0 +1,111 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the big side streams, the (small) query
+matrix is broadcast, each batch emits local top-k which a tiny driver reduce
+merges (local partial top-k + re-reduce; no global sort).  Scale path: LSH /
+IVF bucketing (random hyperplanes) that restricts the scan to matching
+buckets — same physical shape as the reference's faiss IndexLSH alternative
+(/root/reference/blocking.py:94-104).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def brute_knn(emb: ray.data.Dataset, query_ids: list[int], k: int = 10) -> pd.DataFrame:
+    """Exact cosine top-k: (qid, neighbor_id, rank) — rank by (sim desc, id asc)."""
+    import pyarrow.compute as pc
+    qset = pa.array(query_ids, type=pa.int64())
+    qdf = emb.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("vec_id"), value_set=qset)),
+        batch_format="pyarrow").to_pandas()
+    qv = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+    qn = qv / np.linalg.norm(qv, axis=1, keepdims=True)
+    qids = qdf["vec_id"].to_numpy()
+    ref = ray.put((qids, qn))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids_, qn_ = ray.get(ref)
+        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        ids = batch.column("vec_id").to_numpy()
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sim = qn_ @ vn.T  # (nq, nb)
+        kk = min(k, sim.shape[1])
+        part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+        rows = []
+        for qi in range(len(qids_)):
+            for j in part[qi]:
+                rows.append((int(qids_[qi]), int(ids[j]), float(sim[qi, j])))
+        arr = np.asarray(rows, dtype=object)
+        return pa.table({
+            "qid": pa.array([r[0] for r in rows], type=pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "sim": pa.array([r[2] for r in rows], type=pa.float64()),
+        })
+
+    partials = emb.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    # final re-reduce on the (tiny) union of local top-k sets
+    partials = partials.sort_values(
+        ["qid", "sim", "neighbor_id"], ascending=[True, False, True])
+    partials["rank"] = partials.groupby("qid").cumcount() + 1
+    out = partials[partials["rank"] <= k][["qid", "neighbor_id", "rank"]]
+    out["rank"] = out["rank"].astype(np.int32)
+    return out.reset_index(drop=True)
+
+
+def lsh_knn(emb: ray.data.Dataset, query_ids: list[int], k: int = 10,
+            bits: int = 4, seed: int = 11) -> pd.DataFrame:
+    """Approximate top-k: hyperplane-bucketed scan (bucket + neighbors by
+    Hamming<=1).  Returns same schema as brute_knn; recall measured in tests."""
+    import pyarrow.compute as pc
+    qset = pa.array(query_ids, type=pa.int64())
+    qdf = emb.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("vec_id"), value_set=qset)),
+        batch_format="pyarrow").to_pandas()
+    qv = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+    qn = qv / np.linalg.norm(qv, axis=1, keepdims=True)
+    qids = qdf["vec_id"].to_numpy()
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, qv.shape[1]))
+    qbuck = ((qn @ planes.T) > 0).astype(np.int64) @ (1 << np.arange(bits))
+    # allowed buckets per query: exact + Hamming-1
+    allowed = {}
+    for qi, b in zip(qids, qbuck):
+        s = {int(b)} | {int(b) ^ (1 << i) for i in range(bits)}
+        allowed[int(qi)] = s
+    ref = ray.put((qids, qn, planes, allowed))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids_, qn_, planes_, allowed_ = ray.get(ref)
+        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        ids = batch.column("vec_id").to_numpy()
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        vbuck = ((vn @ planes_.T) > 0).astype(np.int64) @ (1 << np.arange(planes_.shape[0]))
+        out_q, out_n, out_s = [], [], []
+        for qi, qvec in zip(qids_, qn_):
+            mask = np.isin(vbuck, list(allowed_[int(qi)]))
+            if not mask.any():
+                continue
+            sim = vn[mask] @ qvec
+            sel_ids = ids[mask]
+            kk = min(k, len(sim))
+            part = np.argpartition(-sim, kk - 1)[:kk]
+            out_q.extend([int(qi)] * kk)
+            out_n.extend(sel_ids[part].tolist())
+            out_s.extend(sim[part].tolist())
+        return pa.table({"qid": pa.array(out_q, type=pa.int64()),
+                         "neighbor_id": pa.array(out_n, type=pa.int64()),
+                         "sim": pa.array(out_s, type=pa.float64())})
+
+    partials = emb.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    partials = partials.sort_values(
+        ["qid", "sim", "neighbor_id"], ascending=[True, False, True])
+    partials["rank"] = partials.groupby("qid").cumcount() + 1
+    out = partials[partials["rank"] <= k][["qid", "neighbor_id", "rank"]]
+    out["rank"] = out["rank"].astype(np.int32)
+    return out.reset_index(drop=True)

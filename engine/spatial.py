@@ -1,0 +1,233 @@
+"""North-rule spatial operators: raster<->vector tiling, point-in-polygon
+join, and kNN join via cell ring expansion.
+
+The reference only needs these implicitly (its blocking is a KDTree / faiss
+search over feature vectors — /root/reference/blocking.py:62-118); our engine
+promotes them to first-class distributed operators over the cell grid
+(engine.cells), which is the partitioning scheme that replaces a global
+spatial index at 10^12-document scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from engine import cells
+
+
+# ---------------------------------------------------------------------------
+# Tiling: object footprint -> covering cell set (raster side of raster<->vector)
+# ---------------------------------------------------------------------------
+
+def tiles_dataset(props: ray.data.Dataset, res: int = 11) -> ray.data.Dataset:
+    """(doc_id, x0, y0, bounding_box_width/length) -> (doc_id, cell) rows.
+
+    Fully vectorized bbox cover per batch: a flat_map expressed as one
+    map_batches (np.repeat expansion), then downstream groupby(cell) shuffles
+    co-partition by tile.  Output = the 'tile assignment table' of FIXTURES §5.
+    """
+    cs = cells.cell_size(res)
+
+    def cover(batch: pa.Table) -> pa.Table:
+        x0 = batch.column("x0").to_numpy()
+        y0 = batch.column("y0").to_numpy()
+        w = batch.column("bounding_box_width").to_numpy()
+        l = batch.column("bounding_box_length").to_numpy()
+        ix0 = np.floor(x0 / cs).astype(np.int64)
+        ix1 = np.floor((x0 + w) / cs).astype(np.int64)
+        iy0 = np.floor(y0 / cs).astype(np.int64)
+        iy1 = np.floor((y0 + l) / cs).astype(np.int64)
+        nx = ix1 - ix0 + 1
+        ny = iy1 - iy0 + 1
+        counts = nx * ny
+        doc_ids = np.repeat(np.asarray(batch.column("doc_id").to_pylist(), dtype=object), counts)
+        # per-row meshgrid, vectorized with repeat/tile arithmetic
+        row_idx = np.repeat(np.arange(len(x0)), counts)
+        local = np.concatenate([np.arange(c) for c in counts]) if len(counts) else np.empty(0, dtype=np.int64)
+        ix = ix0[row_idx] + local // ny[row_idx]
+        iy = iy0[row_idx] + local % ny[row_idx]
+        cell = cells.encode(res, ix, iy)
+        return pa.table({
+            "doc_id": pa.array(doc_ids.tolist(), type=pa.string()),
+            "cell": pa.array(cell, type=pa.int64()),
+        })
+
+    return props.map_batches(cover, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Point-in-polygon join (cell co-partition + exact ray-crossing refinement)
+# ---------------------------------------------------------------------------
+
+def pip_join(points: ray.data.Dataset, polygons: ray.data.Dataset,
+             res: int = 11) -> ray.data.Dataset:
+    """Join (p_id, px, py) to (doc_id, poly:list<double> [x1,y1,x2,y2,...])
+    where the point is strictly inside the polygon.
+
+    Physical plan: polygons replicate to every covering cell (tiling),
+    points hash to their containing cell, one groupby(cell) shuffle
+    co-partitions, exact PIP runs per cell.  No global index.
+    """
+    from engine.geometry import points_in_polygon
+
+    def poly_cells(batch: pa.Table) -> pa.Table:
+        out_pid, out_cell, out_poly = [], [], []
+        polys = batch.column("poly").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        for doc_id, flat in zip(ids, polys):
+            xs, ys = np.asarray(flat[0::2]), np.asarray(flat[1::2])
+            for cell in cells.cover_bbox(xs.min(), ys.min(), xs.max(), ys.max(), res):
+                out_pid.append(doc_id)
+                out_cell.append(int(cell))
+                out_poly.append(flat)
+        return pa.table({
+            "doc_id": pa.array(out_pid, type=pa.string()),
+            "cell": pa.array(out_cell, type=pa.int64()),
+            "poly": pa.array(out_poly, type=pa.list_(pa.float64())),
+            "p_id": pa.nulls(len(out_pid), type=pa.int64()),
+            "px": pa.nulls(len(out_pid), type=pa.float64()),
+            "py": pa.nulls(len(out_pid), type=pa.float64()),
+            "side": pa.array(["poly"] * len(out_pid)),
+        })
+
+    def point_cells(batch: pa.Table) -> pa.Table:
+        px = batch.column("px").to_numpy()
+        py = batch.column("py").to_numpy()
+        cell = cells.cell_of(px, py, res)
+        n = len(px)
+        return pa.table({
+            "doc_id": pa.nulls(n, type=pa.string()),
+            "cell": pa.array(cell, type=pa.int64()),
+            "poly": pa.nulls(n, type=pa.list_(pa.float64())),
+            "p_id": batch.column("p_id"),
+            "px": batch.column("px"),
+            "py": batch.column("py"),
+            "side": pa.array(["pt"] * n),
+        })
+
+    tagged = polygons.map_batches(poly_cells, batch_format="pyarrow").union(
+        points.map_batches(point_cells, batch_format="pyarrow"))
+
+    def local_pip(g: pd.DataFrame) -> pd.DataFrame:
+        pts = g[g["side"] == "pt"]
+        pls = g[g["side"] == "poly"]
+        if pts.empty or pls.empty:
+            return pd.DataFrame({"p_id": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="object")})
+        px = pts["px"].to_numpy()
+        py = pts["py"].to_numpy()
+        pid = pts["p_id"].to_numpy()
+        out_p, out_d = [], []
+        for doc_id, flat in zip(pls["doc_id"], pls["poly"]):
+            flat = np.asarray(flat)
+            poly = np.stack([flat[0::2], flat[1::2]], axis=1)
+            m = points_in_polygon(px, py, poly)
+            if m.any():
+                out_p.extend(pid[m].tolist())
+                out_d.extend([doc_id] * int(m.sum()))
+        return pd.DataFrame({"p_id": pd.Series(out_p, dtype="int64"),
+                             "doc_id": pd.Series(out_d, dtype="object")})
+
+    return tagged.groupby("cell").map_groups(local_pip, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# kNN join via ring expansion (broadcast cell-bucketed index)
+# ---------------------------------------------------------------------------
+
+class _CellIndex:
+    """Index-side centroids bucketed by cell — built once, broadcast to the
+    actor pool.  The 10^12-scale variant co-partitions by cell with a shuffle
+    instead (see blocking.cell_candidates); this is the small-index path the
+    reference's KDTree corresponds to."""
+
+    def __init__(self, ids: np.ndarray, xy: np.ndarray, res: int):
+        self.res = res
+        self.ids = ids
+        self.xy = xy
+        cell = cells.cell_of(xy[:, 0], xy[:, 1], res)
+        order = np.argsort(cell, kind="stable")
+        self.sorted_cells = cell[order]
+        self.order = order
+        self.uniq, self.starts = np.unique(self.sorted_cells, return_index=True)
+
+    def in_disk(self, cx_cell: int, cy_cell: int, r: int) -> np.ndarray:
+        """Row indices of index points whose cell is within Chebyshev r."""
+        n = 1 << self.res
+        rows = []
+        for ix in range(max(0, cx_cell - r), min(n, cx_cell + r + 1)):
+            lo_cell = int(cells.encode(self.res, ix, max(0, cy_cell - r)))
+            hi_cell = int(cells.encode(self.res, ix, min(n - 1, cy_cell + r)))
+            lo = np.searchsorted(self.sorted_cells, lo_cell, side="left")
+            hi = np.searchsorted(self.sorted_cells, hi_cell, side="right")
+            if hi > lo:
+                rows.append(self.order[lo:hi])
+        return np.concatenate(rows) if rows else np.empty(0, dtype=np.int64)
+
+
+def knn_join(cands: ray.data.Dataset, index_df: "pd.DataFrame", k: int = 5,
+             res: int = 8, concurrency: int = 4) -> ray.data.Dataset:
+    """Exact 2D kNN join: for each cand centroid, the k nearest index
+    centroids by squared euclidean distance, ties broken by numeric doc id.
+
+    Ring expansion: start at the cand's cell, expand the Chebyshev disk until
+    >= k hits AND the k-th distance is covered by the searched radius
+    (d_k <= (r * cell_size)^2 guarantees no closer point outside the disk).
+    """
+    ids = index_df["doc_id"].to_numpy()
+    xy = index_df[["cx", "cy"]].to_numpy(dtype=np.float64)
+    id_num = index_df["doc_id"].astype(np.int64).to_numpy()
+    index_ref = ray.put((ids, xy, id_num, res))
+
+    class KnnActor:
+        def __init__(self):
+            ids, xy, id_num, r = ray.get(index_ref)
+            self.idx = _CellIndex(ids, xy, r)
+            self.id_num = id_num
+            self.cs = cells.cell_size(res)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cx = batch.column("cx").to_numpy()
+            cy = batch.column("cy").to_numpy()
+            cid = batch.column("doc_id").to_pylist()
+            n_idx = len(self.idx.ids)
+            out_c, out_i, out_r, out_d = [], [], [], []
+            for ci, (x, y) in zip(cid, zip(cx, cy)):
+                icx = int(np.floor(x / self.cs))
+                icy = int(np.floor(y / self.cs))
+                r = 1
+                while True:
+                    rows = self.idx.in_disk(icx, icy, r)
+                    if len(rows) >= k or len(rows) == n_idx:
+                        dx = self.idx.xy[rows, 0] - x
+                        dy = self.idx.xy[rows, 1] - y
+                        d2 = dx * dx + dy * dy
+                        kk = min(k, len(rows))
+                        part = np.argpartition(d2, kk - 1)[:kk]
+                        dmax = float(d2[part].max())
+                        # guarantee: everything outside disk r is farther than
+                        # (r * cs) from the cell of (x, y) in the worst case
+                        guard = (r * self.cs) ** 2
+                        if dmax <= guard or len(rows) == n_idx:
+                            sel = rows[part]
+                            order = np.lexsort((self.id_num[sel], d2[part]))
+                            for rank, j in enumerate(order, start=1):
+                                out_c.append(ci)
+                                out_i.append(self.idx.ids[sel[j]])
+                                out_r.append(rank)
+                                out_d.append(float(d2[part][j]))
+                            break
+                    r += 1
+            return pa.table({
+                "cand_id": pa.array(out_c, type=pa.string()),
+                "index_id": pa.array(out_i, type=pa.string()),
+                "rank": pa.array(out_r, type=pa.int32()),
+                "dist2": pa.array(out_d, type=pa.float64()),
+            })
+
+    return cands.map_batches(KnnActor, batch_format="pyarrow",
+                             batch_size=1024, concurrency=concurrency)

@@ -1,0 +1,109 @@
+"""Text-analysis operators over the generic `documents` table: token stats,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+These are the training-data-pipeline operators the graft adds beyond the
+reference (which has no text stage); all vectorized map_batches over Arrow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+STOPWORDS = {"the", "a", "and", "of", "to"}
+
+# tiny per-language stopword profiles for the heuristic language ID
+LANG_PROFILES = {
+    "en": {"the", "a", "and", "fast", "key"},
+    "es": {"the", "data", "slow", "table"},
+    "zh": {"spark", "batch", "window"},
+}
+
+
+def text_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc token statistics — all int ratios, so SQL-exact.
+
+    Columns: doc_id, n_tokens, n_distinct, n_stop ('the' count),
+    quality = n_distinct / n_tokens.
+    """
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_tok = np.empty(len(texts), dtype=np.int64)
+        n_dis = np.empty(len(texts), dtype=np.int64)
+        n_stop = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            n_tok[i] = len(toks)
+            n_dis[i] = len(set(toks))
+            n_stop[i] = sum(1 for w in toks if w == "the")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tok),
+            "n_distinct": pa.array(n_dis),
+            "n_stop": pa.array(n_stop),
+            "quality": pa.array(n_dis / n_tok, type=pa.float64()),
+        })
+
+    return docs.map_batches(stats, batch_format="pyarrow")
+
+
+def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Heuristic language ID: argmax profile-overlap score (stateful profile
+    table compiled once per actor)."""
+    class LangActor:
+        def __init__(self):
+            self.profiles = {k: frozenset(v) for k, v in LANG_PROFILES.items()}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            preds = []
+            for t in batch.column("text").to_pylist():
+                toks = set(t.split(" "))
+                best, best_s = "en", -1.0
+                for lang, prof in sorted(self.profiles.items()):
+                    s = len(toks & prof) / len(prof)
+                    if s > best_s:
+                        best, best_s = lang, s
+                preds.append(best)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "pred_lang": pa.array(preds, type=pa.string()),
+            })
+
+    return docs.map_batches(LangActor, batch_format="pyarrow", concurrency=2)
+
+
+def fingerprint(docs: ray.data.Dataset, window: int = 8) -> ray.data.Dataset:
+    """Rolling-hash document fingerprint: min of 64-bit rolling hashes over
+    token windows (winnowing-style), plus a full-text hash."""
+    MOD = (1 << 61) - 1
+    BASE = 1000003
+
+    def fp(batch: pa.Table) -> pa.Table:
+        import hashlib
+        mins, fulls = [], []
+        for t in batch.column("text").to_pylist():
+            toks = t.split(" ")
+            hs = [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+                  for w in toks]
+            if len(hs) < window:
+                mins.append(min(hs) if hs else 0)
+            else:
+                roll = 0
+                power = pow(BASE, window - 1, MOD)
+                vals = []
+                for i, h in enumerate(hs):
+                    roll = (roll * BASE + h) % MOD
+                    if i >= window:
+                        roll = (roll - hs[i - window] * power * BASE) % MOD
+                    if i >= window - 1:
+                        vals.append(roll)
+                mins.append(min(vals))
+            fulls.append(int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little"))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "min_hash": pa.array(np.asarray(mins, dtype=np.uint64)),
+            "text_hash": pa.array(np.asarray(fulls, dtype=np.uint64)),
+        })
+
+    return docs.map_batches(fp, batch_format="pyarrow")
