@@ -78,37 +78,73 @@ def bkafi_nn_dataset(cand_props: ray.data.Dataset, index_df: pd.DataFrame,
     ref = ray.put((idx_mat, idx_ids, idx_num, med, iqr))
     sdr = np.ones(len(features)) if sdr_factors is None else np.asarray(sdr_factors)
 
+    # float32 like the reference's vectors (blocking.py:109-110).  Tile sizes
+    # keep the distance block (tile*chunk*4B ~ 1 MiB) L2-resident: this stage
+    # is DRAM-bandwidth-bound when run on every core, and large temporaries
+    # collapse multi-worker scaling (measured 13x on 16 workers).
+    TILE, CHUNK = 64, 4096
+
     class KnnActor:
         def __init__(self):
             self.idx_mat, self.idx_ids, self.idx_num, self.med, self.iqr = ray.get(ref)
+            self.idx32 = np.ascontiguousarray(self.idx_mat, dtype=np.float32)
+            self.idx_sq = (self.idx32 * self.idx32).sum(1)
+
+        def _topk_tile(self, Xt: np.ndarray):
+            """top nn_param for one cand tile: chunked scan, running merge."""
+            n = len(Xt)
+            x_sq = (Xt * Xt).sum(1)[:, None]
+            n_idx = len(self.idx32)
+            best_d = None
+            best_i = None
+            rows = np.arange(n)[:, None]
+            for s in range(0, n_idx, CHUNK):
+                e = min(s + CHUNK, n_idx)
+                d2 = x_sq - 2.0 * (Xt @ self.idx32[s:e].T) + self.idx_sq[None, s:e]
+                kk = min(nn_param, e - s)
+                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                dloc = np.take_along_axis(d2, part, axis=1)
+                iloc = part.astype(np.int64) + s
+                if best_d is None:
+                    best_d, best_i = dloc, iloc
+                else:
+                    dall = np.concatenate([best_d, dloc], axis=1)
+                    iall = np.concatenate([best_i, iloc], axis=1)
+                    kk2 = min(nn_param, dall.shape[1])
+                    part2 = np.argpartition(dall, kk2 - 1, axis=1)[:, :kk2]
+                    best_d = np.take_along_axis(dall, part2, axis=1)
+                    best_i = np.take_along_axis(iall, part2, axis=1)
+            order = np.lexsort((self.idx_num[best_i], best_d), axis=1)
+            top = np.take_along_axis(best_i, order, axis=1)
+            dtop = np.sqrt(np.maximum(
+                np.take_along_axis(best_d, order, axis=1), 0.0))
+            return top, dtop
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column("doc_id").to_pylist()
             X = np.column_stack([batch.column(c).to_numpy() for c in features])
-            X = (X * sdr - self.med) / self.iqr
-            # pairwise squared L2, vectorized
-            d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ self.idx_mat.T) \
-                + (self.idx_mat * self.idx_mat).sum(1)[None, :]
-            kk = min(nn_param, d2.shape[1])
-            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-            rows = np.arange(len(ids))[:, None]
-            dk = d2[rows, part]
-            order = np.lexsort((self.idx_num[part], dk), axis=1)
-            top = part[rows, order]
-            dtop = np.sqrt(np.maximum(d2[rows, top], 0.0))
-            n = len(ids)
+            X = ((X * sdr - self.med) / self.iqr).astype(np.float32)
+            tops, dists = [], []
+            for s in range(0, len(X), TILE):
+                t, d = self._topk_tile(X[s:s + TILE])
+                tops.append(t)
+                dists.append(d)
+            top = np.concatenate(tops, axis=0)
+            dtop = np.concatenate(dists, axis=0)
+            n, kk = top.shape
             return pa.table({
                 "bkafi_dim": pa.array(np.full(n * kk, bkafi_dim, dtype=np.int32)),
                 "cand_id": pa.array(np.repeat(np.asarray(ids, dtype=object), kk).tolist(),
                                     type=pa.string()),
                 "index_id": pa.array(self.idx_ids[top].ravel().tolist(), type=pa.string()),
                 "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int32), n)),
-                "dist": pa.array(dtop.ravel(), type=pa.float64()),
+                "dist": pa.array(dtop.ravel().astype(np.float64), type=pa.float64()),
             })
 
-    nn = cand_props.select_columns(["doc_id", *features]).map_batches(
-        KnnActor, batch_format="pyarrow", batch_size=2048,
-        concurrency=concurrency)
+    cands = cand_props.select_columns(["doc_id", *features]) \
+        .repartition(concurrency * 4)
+    nn = cands.map_batches(KnnActor, batch_format="pyarrow", batch_size=1024,
+                           concurrency=concurrency)
     return nn, time.time() - start
 
 

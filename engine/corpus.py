@@ -81,8 +81,13 @@ def ensure_corpus(sf_dir: str, n_cands: int | None = None) -> str:
     return out_dir
 
 
-def corpus_dataset(sf_dir: str, n_cands: int | None = None) -> ray.data.Dataset:
-    return ray.data.read_parquet(ensure_corpus(sf_dir, n_cands))
+def corpus_dataset(sf_dir: str, n_cands: int | None = None,
+                   num_blocks: int = 64) -> ray.data.Dataset:
+    """Read the corpus with enough blocks that downstream map_batches stages
+    parallelize across the whole CPU budget (a handful of parquet files would
+    otherwise mean a handful of tasks)."""
+    return ray.data.read_parquet(ensure_corpus(sf_dir, n_cands),
+                                 override_num_blocks=num_blocks)
 
 
 def corpus_table(sf_dir: str, n_cands: int | None = None) -> pa.Table:

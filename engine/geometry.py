@@ -62,16 +62,17 @@ def unique_vertices(surfaces: list[np.ndarray]) -> np.ndarray:
 
 def _polygon_area(poly: np.ndarray) -> float:
     """Triangle-fan surface area of one (possibly non-planar) polygon
-    (object_properties.py:124-143)."""
+    (object_properties.py:124-143).  Vectorized over the fan; each triangle
+    term is exact for dyadic rectangle faces, so summation order is free."""
     n = len(poly)
     if n < 3:
         return 0.0
-    a = 0.0
-    v0 = poly[0]
-    for i in range(1, n - 1):
-        nrm = np.cross(poly[i] - v0, poly[i + 1] - v0)
-        a += 0.5 * math.sqrt(float(nrm[0] * nrm[0] + nrm[1] * nrm[1] + nrm[2] * nrm[2]))
-    return a
+    u = poly[1:n - 1] - poly[0]
+    v = poly[2:n] - poly[0]
+    cx = u[:, 1] * v[:, 2] - u[:, 2] * v[:, 1]
+    cy = u[:, 2] * v[:, 0] - u[:, 0] * v[:, 2]
+    cz = u[:, 0] * v[:, 1] - u[:, 1] * v[:, 0]
+    return float((0.5 * np.sqrt(cx * cx + cy * cy + cz * cz)).sum())
 
 
 def mesh_area(surfaces: list[np.ndarray]) -> float:
@@ -87,14 +88,16 @@ def mesh_volume(surfaces: list[np.ndarray]) -> float:
     divided once, so dyadic inputs give an exact result."""
     acc = 0.0
     for poly in surfaces:
+        n = len(poly)
+        if n < 3:
+            continue
         v0 = poly[0]
-        for i in range(1, len(poly) - 1):
-            v1, v2 = poly[i], poly[i + 1]
-            acc += float(
-                v0[0] * (v1[1] * v2[2] - v1[2] * v2[1])
-                - v0[1] * (v1[0] * v2[2] - v1[2] * v2[0])
-                + v0[2] * (v1[0] * v2[1] - v1[1] * v2[0])
-            )
+        v1 = poly[1:n - 1]
+        v2 = poly[2:n]
+        det = (v0[0] * (v1[:, 1] * v2[:, 2] - v1[:, 2] * v2[:, 1])
+               - v0[1] * (v1[:, 0] * v2[:, 2] - v1[:, 2] * v2[:, 0])
+               + v0[2] * (v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0]))
+        acc += float(det.sum())
     return abs(acc) / 6.0
 
 
@@ -222,93 +225,60 @@ def _quickhull_3d(points: np.ndarray):
     if h[i3] == 0.0:
         return None
 
-    def orient(tri, apex):
-        a, b, c = pts[tri[0]], pts[tri[1]], pts[tri[2]]
-        nrm = np.cross(b - a, c - a)
-        return tri if (pts[apex] - a) @ nrm < 0 else (tri[0], tri[2], tri[1])
+    interior = (pts[i0] + pts[i1] + pts[i2] + pts[i3]) / 4.0
+    faces: list[tuple] = []     # oriented index triples
+    d_cols: list[np.ndarray] = []  # signed distance of every point to each face
+    alive: list[bool] = []
 
-    faces = [orient((i0, i1, i2), i3), orient((i0, i1, i3), i2),
-             orient((i0, i2, i3), i1), orient((i1, i2, i3), i0)]
+    def add_face(a, b, c):
+        u, v = pts[b] - pts[a], pts[c] - pts[a]
+        nrm = np.array((u[1] * v[2] - u[2] * v[1],
+                        u[2] * v[0] - u[0] * v[2],
+                        u[0] * v[1] - u[1] * v[0]))
+        if (interior - pts[a]) @ nrm > 0:
+            b, c = c, b
+            nrm = -nrm
+        faces.append((a, b, c))
+        d_cols.append(pts @ nrm - nrm @ pts[a])
+        alive.append(True)
+        return len(faces) - 1
 
-    def face_plane(f):
-        a, b, c = pts[f[0]], pts[f[1]], pts[f[2]]
-        nrm = np.cross(b - a, c - a)
-        return nrm, a
+    for tri in ((i0, i1, i2), (i0, i1, i3), (i0, i2, i3), (i1, i2, i3)):
+        add_face(*tri)
 
-    # assign outside points
-    remaining = np.ones(n, dtype=bool)
-    for f in faces:
-        for i in f:
-            remaining[i] = False
-    outside = {}
-    for fi, f in enumerate(faces):
-        nrm, a = face_plane(f)
-        idx = np.nonzero(remaining)[0]
-        if len(idx) == 0:
-            outside[fi] = np.empty(0, dtype=int)
-            continue
-        dd = (pts[idx] - a) @ nrm
-        outside[fi] = idx[dd > 1e-12 * max(1.0, float(np.abs(dd).max()))] if len(dd) else idx[:0]
-
-    alive = {i: True for i in range(len(faces))}
-    work = [fi for fi in range(len(faces)) if len(outside[fi])]
-    while work:
-        fi = work.pop()
-        if not alive.get(fi) or not len(outside[fi]):
-            continue
-        f = faces[fi]
-        nrm, a = face_plane(f)
-        cand = outside[fi]
-        dd = (pts[cand] - a) @ nrm
-        far = int(cand[int(np.argmax(dd))])
-        # find visible faces from `far`
-        visible = []
-        for gi, g in enumerate(faces):
-            if not alive.get(gi):
+    guard = 0
+    while True:
+        guard += 1
+        if guard > 8 * n:  # safety net on degenerate inputs
+            break
+        far, fsel = -1, -1
+        for fi in range(len(faces)):
+            if not alive[fi]:
                 continue
-            gn, ga = face_plane(g)
-            if (pts[far] - ga) @ gn > 0.0:
-                visible.append(gi)
-        # horizon edges = edges shared by exactly one visible face
-        edge_count = {}
-        for gi in visible:
+            col = d_cols[fi]
+            j = int(np.argmax(col))
+            if col[j] > 1e-12 * max(1.0, float(abs(col[j]))):
+                far, fsel = j, fi
+                break
+        if fsel < 0:
+            break
+        # faces visible from `far` + their horizon edges
+        edge_count: dict[tuple, int] = {}
+        for gi in range(len(faces)):
+            if not alive[gi] or d_cols[gi][far] <= 0.0:
+                continue
+            alive[gi] = False
             g = faces[gi]
             for e in ((g[0], g[1]), (g[1], g[2]), (g[2], g[0])):
-                key = (min(e), max(e))
-                edge_count[key] = edge_count.get(key, (0, e))[0] + 1, e
-        horizon = [e for (cnt, e) in edge_count.values() if cnt == 1]
-        # collect orphaned outside points
-        orphan = [far_idx for gi in visible for far_idx in outside[gi]]
-        for gi in visible:
-            alive[gi] = False
-            outside[gi] = np.empty(0, dtype=int)
-        new_ids = []
-        for (ea, eb) in horizon:
-            tri = (ea, eb, far)
-            a0, b0, c0 = pts[tri[0]], pts[tri[1]], pts[tri[2]]
-            tn = np.cross(b0 - a0, c0 - a0)
-            # orient outward: interior reference = centroid of initial simplex
-            interior = (pts[i0] + pts[i1] + pts[i2] + pts[i3]) / 4.0
-            if (interior - a0) @ tn > 0:
-                tri = (tri[0], tri[2], tri[1])
-            faces.append(tri)
-            ni = len(faces) - 1
-            alive[ni] = True
-            outside[ni] = np.empty(0, dtype=int)
-            new_ids.append(ni)
-        orphan = np.array([o for o in set(orphan) if o != far], dtype=int)
-        for ni in new_ids:
-            if not len(orphan):
-                break
-            nn, na = face_plane(faces[ni])
-            dd = (pts[orphan] - na) @ nn
-            sel = dd > 1e-12 * max(1.0, float(np.abs(dd).max()))
-            outside[ni] = orphan[sel]
-            orphan = orphan[~sel]
-        work.extend([ni for ni in new_ids if len(outside[ni])])
+                key = (e[0], e[1]) if e[0] < e[1] else (e[1], e[0])
+                got = edge_count.get(key)
+                edge_count[key] = (got[0] + 1, e) if got else (1, e)
+        for cnt, (ea, eb) in edge_count.values():
+            if cnt == 1:
+                add_face(ea, eb, far)
 
     return [(pts[f[0]], pts[f[1]], pts[f[2]]) for fi, f in enumerate(faces)
-            if alive.get(fi)]
+            if alive[fi]]
 
 
 # ---------------------------------------------------------------------------
@@ -336,14 +306,17 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, poly: np.ndarray) -> np.nd
 # The 25-property kernel
 # ---------------------------------------------------------------------------
 
-def compute_properties(surfaces: list[np.ndarray], log_transform: bool = False) -> dict:
+def compute_properties(surfaces: list[np.ndarray], log_transform: bool = False,
+                       verts: np.ndarray | None = None) -> dict:
     """All 25 reference properties for one object.  Returns {name: float}.
 
     Mirrors object_properties.py:72-310; memoized base quantities (area,
     perimeter, volume) become plain locals.  With ``log_transform`` every
-    value v becomes log1p(v) (object_properties.py:64-66).
+    value v becomes log1p(v) (object_properties.py:64-66).  ``verts`` may be
+    passed by callers that already deduplicated (avoids a second np.unique).
     """
-    verts = unique_vertices(surfaces)
+    if verts is None:
+        verts = unique_vertices(surfaces)
     centroid = verts.mean(axis=0)
     xs = np.unique(verts[:, 0])
     ys = np.unique(verts[:, 1])

@@ -29,19 +29,28 @@ def _props_batch(batch: pa.Table, log_transform: bool) -> pa.Table:
         "doc_id": [], "source": [], "x0": [], "y0": [], "cx": [], "cy": [],
         **{p: [] for p in PROPERTY_NAMES},
     }
-    spans_col = batch.column("spans").to_pylist()
+    import pyarrow.compute as pc
+    # Arrow-side extraction of just the geom-span payloads (avoids
+    # materializing every span's text/media strings into Python)
+    spans = batch.column("spans")
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = pc.list_flatten(spans)
+    parents = pc.list_parent_indices(spans).to_numpy()
+    mask = pc.equal(pc.struct_field(flat, "kind"), pa.scalar("geom"))
+    geo_rows = parents[mask.to_numpy(zero_copy_only=False)]
+    geo_texts = pc.struct_field(flat, "text").filter(mask).to_pylist()
     ids = batch.column("doc_id").to_pylist()
     srcs = batch.column("source").to_pylist()
-    for doc_id, source, spans in zip(ids, srcs, spans_col):
-        geom = next((s for s in spans if s["kind"] == "geom"), None)
-        if geom is None:
-            continue
-        parsed = parse_geom_payload(geom["text"])
+    for row, gtext in zip(geo_rows, geo_texts):
+        doc_id, source = ids[row], srcs[row]
+        parsed = parse_geom_payload(gtext)
         if parsed is None:  # < 10 surfaces -> dropped, reference pipelines.py:144-145
             continue
         origin, surfaces = parsed
-        props = compute_properties(surfaces, log_transform=log_transform)
         verts = unique_vertices(surfaces)
+        props = compute_properties(surfaces, log_transform=log_transform,
+                                   verts=verts)
         c = verts.mean(axis=0)
         out["doc_id"].append(doc_id)
         out["source"].append(source)

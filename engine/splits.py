@@ -68,4 +68,5 @@ def negative_sample_pairs(cand_ids: ray.data.Dataset | list,
     if isinstance(cand_ids, list):
         cand_ids = ray.data.from_arrow(
             pa.table({"cand_id": pa.array(cand_ids, type=pa.string())}))
+    cand_ids = cand_ids.repartition(16)
     return cand_ids.map_batches(sample, batch_format="pyarrow", batch_size=2048)
