@@ -144,7 +144,7 @@ def bkafi_nn_dataset(cand_props: ray.data.Dataset, index_df: pd.DataFrame,
     cands = cand_props.select_columns(["doc_id", *features]) \
         .repartition(concurrency * 4)
     nn = cands.map_batches(KnnActor, batch_format="pyarrow", batch_size=1024,
-                           concurrency=concurrency)
+                           concurrency=(1, concurrency))
     return nn, time.time() - start
 
 

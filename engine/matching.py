@@ -99,18 +99,36 @@ class DecisionTree:
         return node
 
     def predict_proba(self, X):
-        out = np.empty(len(X))
-        for i, row in enumerate(X):
-            node = 0
-            while self.feature[node] >= 0:
-                node = self.left[node] if row[self.feature[node]] <= self.threshold[node] \
-                    else self.right[node]
-            out[i] = self.proba[node]
-        return out
+        """Vectorized level-synchronous tree traversal (no per-row loop)."""
+        n = len(X)
+        cur = np.zeros(n, dtype=np.int64)
+        rows = np.nonzero(self.feature[cur] >= 0)[0]
+        while len(rows):
+            node = cur[rows]
+            f = self.feature[node]
+            go_left = X[rows, f] <= self.threshold[node]
+            nxt = np.where(go_left, self.left[node], self.right[node])
+            cur[rows] = nxt
+            rows = rows[self.feature[nxt] >= 0]
+        return self.proba[cur]
+
+
+def _fit_forest_tree(X, y, params: dict, t: int):
+    """One seeded bootstrap tree — pure function so trees can fit in parallel
+    Ray tasks with results identical to the serial order."""
+    rng = np.random.default_rng(params["random_state"] * 100003 + t)
+    boot = rng.integers(0, len(X), len(X))
+    tree = DecisionTree(params["max_depth"], params["min_samples_split"],
+                        params["k"])
+    tree.fit(X[boot], y[boot], rng)
+    return tree
 
 
 class RandomForest:
-    """Seeded bagged trees; deterministic regardless of num_cpus."""
+    """Seeded bagged trees; deterministic regardless of num_cpus (per-tree
+    seeds fix the result whether trees fit serially or as parallel Ray
+    tasks — the reference fits on the driver, classifier.py:150-163; we fan
+    the independent trees out when a Ray session exists)."""
 
     def __init__(self, n_estimators=40, max_depth=10, min_samples_split=2,
                  max_features="sqrt", random_state=1):
@@ -130,13 +148,16 @@ class RandomForest:
         y = np.asarray(y, dtype=np.int8)
         f = X.shape[1]
         k = max(1, int(np.sqrt(f))) if self.max_features == "sqrt" else f
-        self.trees_ = []
-        for t in range(self.n_estimators):
-            rng = np.random.default_rng(self.random_state * 100003 + t)
-            boot = rng.integers(0, len(X), len(X))
-            tree = DecisionTree(self.max_depth, self.min_samples_split, k)
-            tree.fit(X[boot], y[boot], rng)
-            self.trees_.append(tree)
+        params = dict(random_state=self.random_state, max_depth=self.max_depth,
+                      min_samples_split=self.min_samples_split, k=k)
+        if ray.is_initialized() and len(X) * f >= 100_000:
+            fit_remote = ray.remote(num_cpus=1)(_fit_forest_tree)
+            Xr, yr = ray.put(X), ray.put(y)
+            self.trees_ = ray.get([fit_remote.remote(Xr, yr, params, t)
+                                   for t in range(self.n_estimators)])
+        else:
+            self.trees_ = [_fit_forest_tree(X, y, params, t)
+                           for t in range(self.n_estimators)]
         imp = np.sum([t.importances_ for t in self.trees_], axis=0)
         s = imp.sum()
         self.feature_importances_ = imp / s if s > 0 else imp
@@ -244,14 +265,19 @@ class _RegressionTree:
         return node
 
     def predict(self, X):
-        out = np.empty(len(X))
-        for i, row in enumerate(X):
-            n = 0
-            while self.nodes[n][0] >= 0:
-                n = self.nodes[n][2] if row[self.nodes[n][0]] <= self.nodes[n][1] \
-                    else self.nodes[n][3]
-            out[i] = self.nodes[n][4]
-        return out
+        nodes = np.asarray(self.nodes, dtype=np.float64)
+        feat = nodes[:, 0].astype(np.int64)
+        thr, left = nodes[:, 1], nodes[:, 2].astype(np.int64)
+        right, val = nodes[:, 3].astype(np.int64), nodes[:, 4]
+        cur = np.zeros(len(X), dtype=np.int64)
+        rows = np.nonzero(feat[cur] >= 0)[0]
+        while len(rows):
+            node = cur[rows]
+            go_left = X[rows, feat[node]] <= thr[node]
+            nxt = np.where(go_left, left[node], right[node])
+            cur[rows] = nxt
+            rows = rows[feat[nxt] >= 0]
+        return val[cur]
 
 
 MODEL_REGISTRY = {
@@ -314,4 +340,4 @@ def predict_dataset(ds: ray.data.Dataset, model, feature_cols: list[str],
             return batch
 
     return ds.map_batches(PredictActor, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency)
+                          batch_size=batch_size, concurrency=(1, concurrency))

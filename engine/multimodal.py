@@ -64,4 +64,4 @@ def media_features(docs: ray.data.Dataset, concurrency: int = 2,
     """Media spans -> deterministic feature vectors (actor pool).  Small
     batch_size on purpose: real binary payloads are heap-heavy per row."""
     return docs.map_batches(MediaFeatureActor, batch_format="pyarrow",
-                            batch_size=batch_size, concurrency=concurrency)
+                            batch_size=batch_size, concurrency=(1, concurrency))

@@ -72,7 +72,7 @@ def pair_features_dataset(pairs: ray.data.Dataset,
             return batch
 
     return pairs.map_batches(RatioActor, batch_format="pyarrow",
-                             batch_size=16384, concurrency=concurrency)
+                             batch_size=16384, concurrency=(1, concurrency))
 
 
 def concatenation_features_dataset(pairs: ray.data.Dataset,

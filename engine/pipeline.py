@@ -23,8 +23,8 @@ from engine import blocking as blk
 from engine import matching, metrics, pairs, splits
 from engine.corpus import corpus_dataset
 from engine.geometry import PROPERTY_NAMES
-from engine.pairs import RATIO_FEATURE_NAMES
-from engine.properties import properties_dataset
+from engine.pairs import RATIO_FEATURE_NAMES, ratio_features
+from engine.properties import _props_batch, properties_dataset
 
 
 def build_property_tables(sf_dir: str, n_cands: int | None = None,
@@ -69,18 +69,42 @@ def prep_train(cand_df: pd.DataFrame, index_df: pd.DataFrame, seed: int = 1,
 
 def run_flagship(sf_dir: str, n_cands: int | None = None, seed: int = 1,
                  bkafi_dim: int = 6, k: int = 10, neg_num: int = 2,
-                 concurrency: int = 4):
-    """Full blocking->matching pipeline; returns dict of results/datasets."""
+                 concurrency: int = 4, train_mode: str = "blocking-based"):
+    """Full blocking->matching pipeline; returns dict of results/datasets.
+
+    ``train_mode``: 'blocking-based' trains the matcher on pairs produced by
+    running the blocker over the *train* cands (hard negatives — the
+    reference's matching_cands_generation='blocking-based',
+    pipelines.py:426-432 / data_partition.py:401-415); 'negative_sampling'
+    uses the random negatives from the preparatory phase only.
+    """
     props, cand_df, index_df = build_property_tables(sf_dir, n_cands)
     prep = prep_train(cand_df, index_df, seed=seed, neg_num=neg_num)
+
+    features = blk.select_blocking_features(
+        prep["importances"], prep["ratios"], bkafi_dim)
+
+    matcher = prep["model"]
+    if train_mode == "blocking-based":
+        train_cand_df = cand_df[cand_df.doc_id.isin(prep["train_ids"])]
+        train_cands = ray.data.from_pandas(
+            train_cand_df[["doc_id", *PROPERTY_NAMES]].reset_index(drop=True))
+        tnn, _ = blk.bkafi_nn_dataset(
+            train_cands, index_df, features, bkafi_dim, concurrency=concurrency)
+        tfeat = pairs.pair_features_dataset(
+            blk.pairs_from_nn(tnn, k), cand_df, index_df,
+            concurrency=concurrency)
+        tdf = tfeat.to_pandas().sort_values(
+            ["cand_id", "index_id"]).reset_index(drop=True)
+        Xb = tdf[RATIO_FEATURE_NAMES].to_numpy(dtype=np.float64)
+        yb = tdf["label"].to_numpy(dtype=np.int8)
+        matcher = matching.RandomForest(random_state=seed).fit(Xb, yb)
 
     # test split (blocking evaluation runs on held-out cands, all index)
     test_cand_df = cand_df[cand_df.doc_id.isin(prep["test_ids"])]
     test_cands = ray.data.from_pandas(
         test_cand_df[["doc_id", *PROPERTY_NAMES]].reset_index(drop=True))
 
-    features = blk.select_blocking_features(
-        prep["importances"], prep["ratios"], bkafi_dim)
     nn, exec_s = blk.bkafi_nn_dataset(
         test_cands, index_df, features, bkafi_dim, concurrency=concurrency)
     nn = nn.materialize()
@@ -89,7 +113,7 @@ def run_flagship(sf_dir: str, n_cands: int | None = None, seed: int = 1,
     feat_ds = pairs.pair_features_dataset(pair_ds, cand_df, index_df,
                                           concurrency=concurrency)
     scored = matching.predict_dataset(
-        feat_ds, prep["model"], RATIO_FEATURE_NAMES, concurrency=concurrency)
+        feat_ds, matcher, RATIO_FEATURE_NAMES, concurrency=concurrency)
     scored = scored.materialize()
 
     n_inter = len(set(test_cand_df.doc_id) & set(index_df.doc_id))
@@ -102,3 +126,157 @@ def run_flagship(sf_dir: str, n_cands: int | None = None, seed: int = 1,
         "blocking_exec_s": exec_s,
         "n_test_cands": len(test_cand_df), "n_index": len(index_df),
     }
+
+
+def prepare_state(sf_dir: str, n_cands: int | None = None, seed: int = 1,
+                  bkafi_dim: int = 6, k: int = 5, neg_num: int = 2,
+                  concurrency: int = 8, cache: bool = False) -> dict:
+    """Train/prepare everything the apply-path needs (model, blocking
+    features, scaler stats, scaled index matrix, index property matrix).
+
+    This is the analogue of everything the reference does *before* its timed
+    blocking run (Table 3 times only the search — blocking.py:129-132): the
+    returned state is broadcast to the fused inference pipeline.  With
+    ``cache`` the (deterministic) state is pickled under /tmp and reused —
+    bench runs at different CPU counts then share one training pass.
+    """
+    import os
+    import pickle
+    cache_path = None
+    if cache:
+        tag = f"{os.path.basename(os.path.normpath(sf_dir))}_n{n_cands}_s{seed}_d{bkafi_dim}_k{k}_g{neg_num}"
+        cache_path = f"/tmp/ray_geo_state/{tag}.pkl"
+        if os.path.exists(cache_path):
+            with open(cache_path, "rb") as f:
+                return pickle.load(f)
+    props, cand_df, index_df = build_property_tables(sf_dir, n_cands)
+    prep = prep_train(cand_df, index_df, seed=seed, neg_num=neg_num)
+    features = blk.select_blocking_features(
+        prep["importances"], prep["ratios"], bkafi_dim)
+
+    train_cand_df = cand_df[cand_df.doc_id.isin(prep["train_ids"])]
+    train_cands = ray.data.from_pandas(
+        train_cand_df[["doc_id", *PROPERTY_NAMES]].reset_index(drop=True))
+    tnn, _ = blk.bkafi_nn_dataset(
+        train_cands, index_df, features, bkafi_dim, concurrency=concurrency)
+    tfeat = pairs.pair_features_dataset(
+        blk.pairs_from_nn(tnn, k), cand_df, index_df, concurrency=concurrency)
+    tdf = tfeat.to_pandas().sort_values(
+        ["cand_id", "index_id"]).reset_index(drop=True)
+    matcher = matching.RandomForest(random_state=seed).fit(
+        tdf[RATIO_FEATURE_NAMES].to_numpy(dtype=np.float64),
+        tdf["label"].to_numpy(dtype=np.int8))
+
+    med, iqr = blk.robust_scale_stats(cand_df, features)
+    feat_idx = [PROPERTY_NAMES.index(f) for f in features]
+    idx_props = index_df[PROPERTY_NAMES].to_numpy(dtype=np.float64)
+    idx_scaled = np.ascontiguousarray(
+        (idx_props[:, feat_idx] - med) / iqr, dtype=np.float32)
+    state = {
+        "features": features, "feat_idx": feat_idx, "med": med, "iqr": iqr,
+        "matcher": matcher, "k": k,
+        "idx_ids": index_df["doc_id"].to_numpy(),
+        "idx_num": index_df["doc_id"].astype(np.int64).to_numpy(),
+        "idx_scaled": idx_scaled, "idx_props": idx_props,
+        "n_index": len(index_df),
+    }
+    if cache_path:
+        import os
+        import pickle
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(state, f)
+        os.replace(tmp, cache_path)
+    return state
+
+
+def matching_inference_pipeline(docs: ray.data.Dataset, state: dict,
+                                concurrency: int = 8) -> ray.data.Dataset:
+    """The fused apply path: interleaved docs -> parse + 25 properties ->
+    kNN blocking -> ratio features -> match classification, in ONE streaming
+    execution (every stage parallel; prepared state broadcast once).
+
+    Output: (cand_id, index_id, rank, dist, label, pred) pair rows.
+    """
+    import pyarrow as pa
+
+    state_ref = ray.put(state)
+
+    def props_cands(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        out = _props_batch(batch, False)
+        return out.filter(pc.equal(out.column("source"), pa.scalar("cands")))
+
+    class BlockScoreActor:
+        """kNN + ratio features + prediction fused per batch."""
+
+        TILE, CHUNK = 64, 4096
+
+        def __init__(self):
+            s = ray.get(state_ref)
+            self.s = s
+            self.idx_sq = (s["idx_scaled"] * s["idx_scaled"]).sum(1)
+
+        def _topk(self, Xt):
+            s = self.s
+            k = s["k"]
+            x_sq = (Xt * Xt).sum(1)[:, None]
+            n_idx = len(s["idx_scaled"])
+            best_d = best_i = None
+            for c in range(0, n_idx, self.CHUNK):
+                e = min(c + self.CHUNK, n_idx)
+                d2 = x_sq - 2.0 * (Xt @ s["idx_scaled"][c:e].T) + self.idx_sq[None, c:e]
+                kk = min(k, e - c)
+                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                dloc = np.take_along_axis(d2, part, axis=1)
+                iloc = part.astype(np.int64) + c
+                if best_d is None:
+                    best_d, best_i = dloc, iloc
+                else:
+                    dall = np.concatenate([best_d, dloc], 1)
+                    iall = np.concatenate([best_i, iloc], 1)
+                    part2 = np.argpartition(dall, k - 1, axis=1)[:, :k]
+                    best_d = np.take_along_axis(dall, part2, 1)
+                    best_i = np.take_along_axis(iall, part2, 1)
+            order = np.lexsort((s["idx_num"][best_i], best_d), axis=1)
+            return (np.take_along_axis(best_i, order, 1),
+                    np.sqrt(np.maximum(np.take_along_axis(best_d, order, 1), 0.0)))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            s = self.s
+            ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=object)
+            P = np.column_stack(
+                [batch.column(c).to_numpy() for c in PROPERTY_NAMES])
+            Xs = ((P[:, s["feat_idx"]] - s["med"]) / s["iqr"]).astype(np.float32)
+            tops, dists = [], []
+            for t0 in range(0, len(Xs), self.TILE):
+                t, d = self._topk(Xs[t0:t0 + self.TILE])
+                tops.append(t)
+                dists.append(d)
+            top = np.concatenate(tops, 0)
+            dist = np.concatenate(dists, 0)
+            n, kk = top.shape
+            cand_rep = np.repeat(np.arange(n), kk)
+            flat_idx = top.ravel()
+            feats = ratio_features(P[cand_rep], s["idx_props"][flat_idx])
+            pred = s["matcher"].predict(feats)
+            cand_ids = np.repeat(ids, kk)
+            index_ids = s["idx_ids"][flat_idx]
+            label = (cand_ids == index_ids).astype(np.int8)
+            return pa.table({
+                "cand_id": pa.array(cand_ids.tolist(), type=pa.string()),
+                "index_id": pa.array(index_ids.tolist(), type=pa.string()),
+                "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int32), n)),
+                "dist": pa.array(dist.ravel().astype(np.float64), type=pa.float64()),
+                "label": pa.array(label, type=pa.int8()),
+                "pred": pa.array(pred.astype(np.int8), type=pa.int8()),
+            })
+
+    # NOTE: Ray fuses the stateless props map into the actor pool; a low
+    # autoscaling minimum then throttles the whole chain, so pin most of the
+    # pool up front (leaving headroom for the read tasks).
+    min_actors = max(1, concurrency * 3 // 4)
+    return docs.map_batches(props_cands, batch_format="pyarrow") \
+        .map_batches(BlockScoreActor, batch_format="pyarrow", batch_size=512,
+                     concurrency=(min_actors, concurrency))

@@ -70,7 +70,7 @@ def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
                 "pred_lang": pa.array(preds, type=pa.string()),
             })
 
-    return docs.map_batches(LangActor, batch_format="pyarrow", concurrency=2)
+    return docs.map_batches(LangActor, batch_format="pyarrow", concurrency=(1, 2))
 
 
 def fingerprint(docs: ray.data.Dataset, window: int = 8) -> ray.data.Dataset:

@@ -1,0 +1,205 @@
+"""Operator-level tests: cells, spans invariant, splits, dedup, matching,
+similarity (SURVEY.md §5 items (c)-(d))."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from engine import cells
+from engine.joins import stable_hash64
+from engine.schema import SPAN_TYPE, assert_spans_preserved, span_fingerprint_column
+
+
+def test_cell_encode_decode_roundtrip():
+    res = 11
+    c = cells.cell_of([100.0, 131071.0], [0.0, 70000.0], res)
+    r, ix, iy = cells.decode(c)
+    assert (r == res).all()
+    assert ix[0] == int(100.0 / 64) and iy[0] == 0
+    assert len(np.unique(c)) == 2
+
+
+def test_cell_ring_and_disk():
+    c = int(cells.cell_of(1000.0, 1000.0, 8))
+    d1 = cells.disk(c, 1)
+    assert len(d1) == 9
+    r1 = cells.ring(c, 1)
+    assert len(r1) == 8
+    assert set(r1.tolist()) | {c} == set(d1.tolist())
+    # world edge clipping
+    edge = int(cells.cell_of(0.0, 0.0, 8))
+    assert len(cells.disk(edge, 1)) == 4
+
+
+def test_cover_bbox():
+    cs = cells.cell_size(11)  # 64 m
+    got = cells.cover_bbox(10.0, 10.0, 10.0 + cs, 10.0, 11)
+    assert len(got) == 2  # crosses one x boundary
+
+
+def test_span_fingerprint_detects_mutation():
+    spans = [[{"kind": "text", "text": "a", "media_ref": "", "offset": 0},
+              {"kind": "geom", "text": "{}", "media_ref": "", "offset": 1}]]
+    t1 = pa.table({"doc_id": ["d"], "spans": pa.array(spans, type=pa.list_(SPAN_TYPE))})
+    mutated = [[{"kind": "text", "text": "a!", "media_ref": "", "offset": 0},
+                {"kind": "geom", "text": "{}", "media_ref": "", "offset": 1}]]
+    t2 = pa.table({"doc_id": ["d"], "spans": pa.array(mutated, type=pa.list_(SPAN_TYPE))})
+    assert_spans_preserved(t1, t1)
+    with pytest.raises(AssertionError):
+        assert_spans_preserved(t1, t2)
+    # offset order is part of the fingerprint, not storage order
+    reordered = [list(reversed(spans[0]))]
+    t3 = pa.table({"doc_id": ["d"], "spans": pa.array(reordered, type=pa.list_(SPAN_TYPE))})
+    assert_spans_preserved(t1, t3)
+
+
+def test_corpus_pipeline_preserves_spans():
+    """The document table read back after the generation stage keeps every
+    span sequence (per-row invariant through write/read round trip)."""
+    from engine.corpus import corpus_table
+    from datagen.buildings import doc_spans
+    t = corpus_table("/root/testdata/sf0.001")
+    fps = span_fingerprint_column(t.column("spans")).to_pylist()
+    ids = t.column("doc_id").to_pylist()
+    srcs = t.column("source").to_pylist()
+    # regenerate one doc per source directly and compare fingerprints
+    import hashlib
+    for i in (0, 1, len(ids) - 1):
+        regen = doc_spans(int(ids[i]), srcs[i])
+        h = hashlib.sha256()
+        for s in sorted(regen, key=lambda s: s["offset"]):
+            h.update(s["kind"].encode()); h.update(b"\x00")
+            h.update(s["text"].encode()); h.update(b"\x00")
+            h.update(s["media_ref"].encode()); h.update(b"\x01")
+        assert h.hexdigest() == fps[i]
+
+
+def test_stable_hash_deterministic():
+    a = stable_hash64(["x", "y", "z"])
+    b = stable_hash64(["x", "y", "z"])
+    assert (a == b).all()
+    assert len(set(a.tolist())) == 3
+
+
+def test_split_and_negative_sampling_deterministic():
+    from engine.splits import negative_sample_pairs, train_test_ids
+    ids = [str(i) for i in range(200)]
+    tr1, te1 = train_test_ids(ids, seed=7)
+    tr2, te2 = train_test_ids(ids, seed=7)
+    assert tr1 == tr2 and te1 == te2
+    assert set(tr1) | set(te1) == set(ids)
+    assert not set(tr1) & set(te1)
+    p1 = negative_sample_pairs(ids[:20], ids, neg_num=2, seed=7).to_pandas()
+    p2 = negative_sample_pairs(ids[:20], ids, neg_num=2, seed=7).to_pandas()
+    key = lambda df: sorted(map(tuple, df.values.tolist()))
+    assert key(p1) == key(p2)
+    assert (p1[p1.label == 1].cand_id == p1[p1.label == 1].index_id).all()
+    assert (p1[p1.label == 0].cand_id != p1[p1.label == 0].index_id).all()
+
+
+def test_random_forest_deterministic_and_separates():
+    from engine.matching import RandomForest, f1_binary
+    rng = np.random.default_rng(3)
+    X = np.vstack([rng.normal(0, 1, (300, 5)), rng.normal(2.5, 1, (300, 5))])
+    y = np.repeat([0, 1], 300).astype(np.int8)
+    m1 = RandomForest(n_estimators=10, random_state=5).fit(X, y)
+    m2 = RandomForest(n_estimators=10, random_state=5).fit(X, y)
+    assert (m1.predict(X) == m2.predict(X)).all()
+    assert (m1.feature_importances_ == m2.feature_importances_).all()
+    f1, _, _ = f1_binary(y, m1.predict(X))
+    assert f1 > 0.95
+
+
+def test_random_forest_parallel_fit_matches_serial(ray_session):
+    from engine.matching import RandomForest
+    rng = np.random.default_rng(4)
+    X = rng.normal(0, 1, (5000, 25))  # big enough to take the Ray-task path
+    y = (X[:, 0] + X[:, 3] > 0).astype(np.int8)
+    m_par = RandomForest(n_estimators=8, random_state=9).fit(X, y)
+    import engine.matching as em
+    import ray as _ray
+    was = _ray.is_initialized
+    try:
+        _ray.is_initialized = lambda: False  # force serial path
+        m_ser = RandomForest(n_estimators=8, random_state=9).fit(X, y)
+    finally:
+        _ray.is_initialized = was
+    assert (m_par.feature_importances_ == m_ser.feature_importances_).all()
+    Xt = rng.normal(0, 1, (500, 25))
+    assert (m_par.predict_proba(Xt) == m_ser.predict_proba(Xt)).all()
+
+
+def test_ratio_features_reference_semantics():
+    from engine.pairs import ratio_features
+    c = np.array([[2.0, 1.0, 5.0]])
+    i = np.array([[1.0, 0.0, 0.0001]])
+    out = ratio_features(c, i)
+    assert out[0, 0] == 2.0
+    assert out[0, 1] == 0.0        # div-by-zero -> 0.0 (except branch)
+    assert out[0, 2] == 1000.0     # clipped at max_ratio_val
+    assert ratio_features(np.array([[1.0]]), np.array([[3.0]]))[0, 0] == 0.333
+
+
+def test_dedup_exact_finds_planted(ray_session):
+    from engine.dedup import exact_dedup, planted_dup_corpus
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = exact_dedup(planted_dup_corpus(docs)).to_pandas()
+    dup_groups = out[out.dup_count >= 2]
+    planted = len([i for i in range(500) if i % 7 == 0])
+    assert len(dup_groups) >= planted * 0.95  # natural text collisions may merge a few
+    assert out.dup_count.sum() == 500 + planted
+
+
+def test_minhash_lsh_recovers_planted_dups(ray_session):
+    from engine.dedup import minhash_lsh_pairs, planted_dup_corpus
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = minhash_lsh_pairs(planted_dup_corpus(docs), threshold=0.5).to_pandas()
+    planted = {(i, i + 100000) for i in range(0, 500, 7)}
+    found = set(zip(out.a_id, out.b_id))
+    hit = len(planted & found) / len(planted)
+    assert hit >= 0.95, f"LSH recall {hit}"
+
+
+def test_lsh_knn_recall_vs_brute(ray_session):
+    from engine.similarity import brute_knn, lsh_knn
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    exact = brute_knn(emb, list(range(10)), k=5)
+    approx = lsh_knn(emb, list(range(10)), k=5)
+    e = set(zip(exact.qid, exact.neighbor_id))
+    a = set(zip(approx.qid, approx.neighbor_id))
+    assert len(e & a) / len(e) >= 0.5  # approximate, but far above chance
+
+
+def test_spatial_knn_matches_bruteforce(ray_session):
+    from engine.spatial import knn_join
+    rng = np.random.default_rng(0)
+    idx = pd.DataFrame({
+        "doc_id": [str(i) for i in range(400)],
+        "cx": rng.uniform(0, 5000, 400), "cy": rng.uniform(0, 5000, 400)})
+    cand = pd.DataFrame({
+        "doc_id": [str(i + 1000) for i in range(50)],
+        "cx": rng.uniform(0, 5000, 50), "cy": rng.uniform(0, 5000, 50)})
+    got = knn_join(ray.data.from_pandas(cand), idx, k=3, res=6).to_pandas()
+    # brute force oracle
+    for _, row in cand.iloc[:10].iterrows():
+        d2 = (idx.cx - row.cx) ** 2 + (idx.cy - row.cy) ** 2
+        order = sorted(zip(d2, idx.doc_id.astype(int)))[:3]
+        want = [str(i) for _, i in order]
+        have = got[got.cand_id == row.doc_id].sort_values("rank").index_id.tolist()
+        assert have == want
+
+
+def test_kabsch_alignment_recovers_transform():
+    from engine.blocking import kabsch_transform
+    rng = np.random.default_rng(1)
+    src = rng.normal(0, 10, (100, 2))
+    theta = 0.7
+    R = np.array([[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]])
+    tgt = 2.0 * (src @ R) + np.array([5.0, -3.0])
+    aligned = kabsch_transform(src, tgt)
+    assert np.abs(aligned - tgt).max() < 1e-8

@@ -1,0 +1,97 @@
+"""End-to-end pipeline tests at sf0.001 (fast): blocking recall on planted
+matches, matching quality floor, fused-vs-staged parity, checkpoint resume
+(SURVEY.md §5 items (b), (d), (e))."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def flagship(ray_session):
+    from engine.pipeline import run_flagship
+    return run_flagship(SF, seed=1, bkafi_dim=6, k=5)
+
+
+def test_blocking_recall_planted(flagship):
+    r = flagship["blocking_recall"]
+    assert r[r.k == 1].blocking_recall.iloc[0] >= 0.99
+    assert r[r.k == 5].blocking_recall.iloc[0] == 1.0
+
+
+def test_matching_quality_floor(flagship):
+    m = flagship["matching"]
+    assert m["f1"] >= 0.9, m
+    assert m["precision"] >= 0.85 and m["recall"] >= 0.9
+
+
+def test_pairs_have_reference_label_semantics(flagship):
+    df = flagship["scored"].to_pandas()
+    assert ((df.cand_id == df.index_id) == (df.label == 1)).all()
+    assert df["rank"].between(1, 5).all()
+
+
+def test_fused_pipeline_matches_quality(ray_session):
+    from engine.corpus import corpus_dataset
+    from engine.pipeline import matching_inference_pipeline, prepare_state
+    state = prepare_state(SF, seed=1, bkafi_dim=6, k=5, concurrency=2)
+    out = matching_inference_pipeline(
+        corpus_dataset(SF), state, concurrency=2).to_pandas()
+    # every cand produced exactly k rows, ranked
+    counts = out.groupby("cand_id").size()
+    assert (counts == 5).all()
+    # match quality at least as good as the staged pipeline floor
+    tp = int(((out.label == 1) & (out.pred == 1)).sum())
+    fp = int(((out.label == 0) & (out.pred == 1)).sum())
+    fn = int(((out.label == 1) & (out.pred == 0)).sum())
+    p = tp / (tp + fp)
+    r = tp / (tp + fn)
+    assert 2 * p * r / (p + r) >= 0.9
+
+
+def test_checkpoint_resume_byte_identical(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from engine.checkpoint import read_manifest, run_stage
+    from engine.corpus import corpus_dataset
+    from engine.properties import properties_dataset
+
+    root = str(tmp_path)
+    d1 = run_stage(root, "props", lambda: properties_dataset(corpus_dataset(SF)),
+                   lineage={"input": SF})
+    n1 = d1.count()
+    t0 = d1.to_pandas().sort_values(["doc_id", "source"]).reset_index(drop=True)
+    man1 = read_manifest(root, "props")
+    # rerun: must skip (build_fn would raise)
+    d2 = run_stage(root, "props",
+                   lambda: (_ for _ in ()).throw(AssertionError("rebuilt")))
+    assert d2.count() == n1
+    # simulate a killed write: delete manifest -> rerun rebuilds
+    import os
+    os.remove(f"{root}/props/manifest.json")
+    d3 = run_stage(root, "props", lambda: properties_dataset(corpus_dataset(SF)))
+    man3 = read_manifest(root, "props")
+    assert man3["total_rows"] == man1["total_rows"]
+    # byte-identical partition content (sorted by doc_id/source)
+    t1 = d3.to_pandas().sort_values(["doc_id", "source"]).reset_index(drop=True)
+    assert (t1["volume"].to_numpy() == t0["volume"].to_numpy()).all()
+
+
+def test_threshold_filter_monotonic(ray_session):
+    """bkafi_with_threshold semantics: shrinking threshold shrinks the nn
+    table monotonically (M13/T12)."""
+    import ray.data
+    from engine import blocking as blk
+    from engine.pipeline import build_property_tables
+    from engine.geometry import PROPERTY_NAMES
+    props, cand_df, index_df = build_property_tables(SF)
+    cands = ray.data.from_pandas(
+        cand_df[["doc_id", *PROPERTY_NAMES]].reset_index(drop=True))
+    feats = ["volume", "area", "height_diff"]
+    nn, _ = blk.bkafi_nn_dataset(cands, index_df, feats, 3, concurrency=2)
+    nn = nn.materialize()
+    dists = nn.to_pandas()["dist"]
+    qs = np.percentile(dists, [10, 50, 90])
+    counts = [blk.threshold_filter(nn, float(q)).count() for q in qs]
+    assert counts[0] <= counts[1] <= counts[2]
+    assert counts[2] <= nn.count()
