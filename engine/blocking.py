@@ -213,3 +213,23 @@ def kabsch_transform(source: np.ndarray, target: np.ndarray) -> np.ndarray:
         R = U @ Vt
     s = np.linalg.norm(tc[:m]) / np.linalg.norm(sc[:m])
     return s * (sc @ R) + tgt_mean
+
+
+# ---------------------------------------------------------------------------
+# Blocker registry — the reference's name -> method dispatch (blocking.py:47-56)
+# ---------------------------------------------------------------------------
+
+BLOCKER_REGISTRY = {
+    "bkafi": bkafi_nn_dataset,             # feature-space kNN (actor pool)
+    "centroid": centroid_nn_dataset,       # exhaustive 2D centroid L2
+    "centroid_with_transform": lambda c, i, **kw: centroid_nn_dataset(
+        c, i, transform=True, **kw),
+}
+
+
+def get_blocker(name: str):
+    try:
+        return BLOCKER_REGISTRY[name]
+    except KeyError:
+        raise ValueError(f"unknown blocking method {name!r}; "
+                         f"available: {sorted(BLOCKER_REGISTRY)}")

@@ -280,9 +280,54 @@ class _RegressionTree:
         return val[cur]
 
 
+class LogisticRegression:
+    """Deterministic L2-regularized logistic regression (full-batch Newton
+    steps — no RNG, identical at any parallelism).  Fills the reference's
+    linear-model slot in the registry (classifier.py:47); its
+    ``feature_importances_`` are |weight| magnitudes."""
+
+    def __init__(self, l2: float = 1e-3, n_iter: int = 25, random_state: int = 1):
+        self.l2 = l2
+        self.n_iter = n_iter
+        self.random_state = random_state
+
+    def get_params(self):
+        return dict(l2=self.l2, n_iter=self.n_iter, random_state=self.random_state)
+
+    def fit(self, X, y):
+        X = np.ascontiguousarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        self.mu_ = X.mean(axis=0)
+        self.sd_ = X.std(axis=0)
+        self.sd_[self.sd_ == 0] = 1.0
+        Z = (X - self.mu_) / self.sd_
+        Z = np.hstack([Z, np.ones((len(Z), 1))])
+        w = np.zeros(Z.shape[1])
+        for _ in range(self.n_iter):
+            p = 1.0 / (1.0 + np.exp(-(Z @ w)))
+            g = Z.T @ (p - y) + self.l2 * w
+            W = p * (1 - p) + 1e-9
+            H = (Z * W[:, None]).T @ Z + self.l2 * np.eye(Z.shape[1])
+            w = w - np.linalg.solve(H, g)
+        self.w_ = w
+        imp = np.abs(w[:-1])
+        s = imp.sum()
+        self.feature_importances_ = imp / s if s > 0 else imp
+        return self
+
+    def predict_proba(self, X):
+        Z = (np.ascontiguousarray(X, dtype=np.float64) - self.mu_) / self.sd_
+        Z = np.hstack([Z, np.ones((len(Z), 1))])
+        return 1.0 / (1.0 + np.exp(-(Z @ self.w_)))
+
+    def predict(self, X):
+        return (self.predict_proba(X) >= 0.5).astype(np.int8)
+
+
 MODEL_REGISTRY = {
     "RandomForest": RandomForest,
     "GradientBoosting": GradientBoosting,
+    "LogisticRegression": LogisticRegression,
 }
 
 

@@ -250,3 +250,11 @@ WITH q AS (
 SELECT qid, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rank
 FROM r WHERE rnk <= 10
 """
+
+REL_EVENTS_RUNNING = """
+SELECT user_id, event_id,
+       row_number() OVER w AS rn,
+       MAX(value) OVER w AS run_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

@@ -201,6 +201,78 @@ def q_part_brand_agg(sf_dir: str):
     return relational.supplier_part_join(sf_dir)
 
 
+def q_events_running(sf_dir: str):
+    return relational.events_running(sf_dir)
+
+
+def geo_block_centroid(sf_dir: str):
+    """Exhaustive centroid blocker (reference 'centroid' method,
+    blocking.py:62-76): top-21 nearest index centroids per cand.  Rows-only."""
+    from engine.blocking import get_blocker
+    props = _props(sf_dir).to_pandas()
+    cand_df = props[props.source == "cands"].reset_index(drop=True)
+    index_df = props[props.source == "index"].reset_index(drop=True)
+    return get_blocker("centroid")(cand_df, index_df)
+
+
+def geo_threshold_sweep(sf_dir: str):
+    """Percentile threshold sweep over the nn table
+    (bkafi_with_threshold.py:131-141, 232-269): for each percentile of the
+    matched-pair train distances, candidate count + recall + reduction ratio.
+    Rows-only."""
+    import pandas as pd
+    from engine import blocking as blk, metrics
+    props = _props(sf_dir).to_pandas()
+    cand_df = props[props.source == "cands"].reset_index(drop=True)
+    index_df = props[props.source == "index"].reset_index(drop=True)
+    cands = ray.data.from_pandas(cand_df[["doc_id", *_FIXED_BLOCK_FEATURES]])
+    nn, _ = blk.bkafi_nn_dataset(cands, index_df, _FIXED_BLOCK_FEATURES, 6)
+    nn_df = nn.to_pandas()
+    match_d = nn_df[nn_df.cand_id == nn_df.index_id]["dist"].to_numpy()
+    table = metrics.percentile_threshold_table(match_d, num_points=20)
+    n_inter = len(set(cand_df.doc_id) & set(index_df.doc_id))
+    rows = []
+    for pct, thr in zip(np.linspace(0, 100, 20), table):
+        kept = nn_df[nn_df.dist <= thr]
+        pos = kept[kept.cand_id == kept.index_id]
+        rows.append({
+            "percentile": float(pct),
+            "threshold": float(thr),
+            "cand_pairs": int(len(kept)),
+            "recall": round(pos.cand_id.nunique() / n_inter, 3),
+            "reduction_ratio": metrics.reduction_ratio(
+                len(kept), len(cand_df), len(index_df)),
+        })
+    return pd.DataFrame(rows)
+
+
+def geo_contamination(sf_dir: str):
+    """Contamination robustness (contamination_experiments.py:67-85):
+    contaminate 20% of test pair features, rescore, report flips.  Rows-only."""
+    from engine.contamination import contaminate
+    from engine.corpus import corpus_dataset
+    from engine.pipeline import matching_inference_pipeline, prepare_state
+    from engine import matching
+    from engine.pairs import RATIO_FEATURE_NAMES
+    state = prepare_state(sf_dir, seed=1, bkafi_dim=6, k=5, concurrency=4,
+                          cache=True)
+    scored = matching_inference_pipeline(corpus_dataset(sf_dir), state,
+                                         concurrency=4)
+    # rebuild features deterministically, contaminate, re-predict
+    from engine import pairs as pairs_mod
+    props = _props(sf_dir).to_pandas()
+    cand_df = props[props.source == "cands"].reset_index(drop=True)
+    index_df = props[props.source == "index"].reset_index(drop=True)
+    feat = pairs_mod.pair_features_dataset(
+        scored.select_columns(["cand_id", "index_id", "label", "pred"]),
+        cand_df, index_df)
+    cont = contaminate(feat, fraction=0.2, seed=1)
+    rescored = matching.predict_dataset(
+        cont.drop_columns(["pred"]), state["matcher"], RATIO_FEATURE_NAMES)
+    return rescored.select_columns(
+        ["cand_id", "index_id", "label", "pred", "contaminated"])
+
+
 def text_stats(sf_dir: str):
     return text.text_stats(_docs(sf_dir))
 
@@ -270,6 +342,10 @@ QUERIES = {
     "q_customers_with_orders": q_customers_with_orders,
     "q_customers_without_orders": q_customers_without_orders,
     "q_part_brand_agg": q_part_brand_agg,
+    "q_events_running": q_events_running,
+    "geo_block_centroid": geo_block_centroid,
+    "geo_threshold_sweep": geo_threshold_sweep,
+    "geo_contamination": geo_contamination,
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -299,6 +375,7 @@ def oracle_sql() -> dict[str, str]:
         "q_customers_with_orders": o.REL_CUSTOMERS_WITH_ORDERS,
         "q_customers_without_orders": o.REL_CUSTOMERS_WITHOUT_ORDERS,
         "q_part_brand_agg": o.REL_PART_BRAND_AGG,
+        "q_events_running": o.REL_EVENTS_RUNNING,
         "text_stats": o.TEXT_STATS,
         "dedup_exact": o.DEDUP_EXACT,
         "dedup_ngram": o.DEDUP_NGRAM,

@@ -114,3 +114,23 @@ def supplier_part_join(sf_dir: str) -> ray.data.Dataset:
         Count(alias_name="n"),
         Sum("l_quantity", alias_name="sum_qty"),
     )
+
+
+def events_running(sf_dir: str) -> ray.data.Dataset:
+    """Per-user running aggregates ordered by (ts, event_id): row_number and
+    running max(value) — the sorted-window-per-key recipe (ray_guide.md
+    'Streaming-shaped workloads': groupby(key).map_groups over the ordered
+    group).  Max/count only, so floats stay order-independent-exact."""
+    import pandas as pd
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "event_id": g["event_id"].to_numpy(),
+            "rn": np.arange(1, len(g) + 1, dtype=np.int64),
+            "run_max": g["value"].cummax().to_numpy(),
+        })
+
+    return ds.groupby("user_id").map_groups(window, batch_format="pandas")
