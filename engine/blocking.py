@@ -233,3 +233,130 @@ def get_blocker(name: str):
     except KeyError:
         raise ValueError(f"unknown blocking method {name!r}; "
                          f"available: {sorted(BLOCKER_REGISTRY)}")
+
+
+# ---------------------------------------------------------------------------
+# Cell-partitioned candidate generation (the 10^12-scale blocking path)
+# ---------------------------------------------------------------------------
+
+def cell_blocking(props: ray.data.Dataset, res: int = 9, ring: int = 1,
+                  salt_threshold: int = 2000, nn_param: int = NN_PARAM) -> ray.data.Dataset:
+    """Candidate pairs via spatial-cell co-partitioning — no broadcast index.
+
+    Replaces the global KDTree with a shuffle (SURVEY.md §2.5 J3(b)): every
+    object maps to its centroid's cell; cands additionally replicate to the
+    Chebyshev ring (so near-boundary matches are not lost); one
+    groupby(cell) co-partitions both sources; per cell, each cand takes its
+    top-`nn_param` nearest index objects locally; a final per-cand re-reduce
+    merges cell-local candidates (rank re-assigned globally).
+
+    Skew handling: a hot cell (more rows than ``salt_threshold``) is split by
+    a stable hash of the *index* id into sub-cells, and the cands of that
+    cell replicate to every sub-cell — same output as unsalted, bounded
+    group size (tested).  Output: cand_id, index_id, rank, dist2.
+    """
+    import pyarrow.compute as pc
+
+    from engine import cells as cell_mod
+    from engine.joins import stable_hash64
+
+    cs = cell_mod.cell_size(res)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cx = batch.column("cx").to_numpy()
+        cy = batch.column("cy").to_numpy()
+        src = np.asarray(batch.column("source").to_pylist())
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=object)
+        out_id, out_src, out_cell, out_x, out_y = [], [], [], [], []
+        ix = np.floor(cx / cs).astype(np.int64)
+        iy = np.floor(cy / cs).astype(np.int64)
+        n_side = 1 << res
+        for i in range(len(ids)):
+            if src[i] == "index":
+                cells_i = [(ix[i], iy[i])]
+            else:  # cands replicate to the ring neighborhood
+                cells_i = [(ix[i] + dx, iy[i] + dy)
+                           for dx in range(-ring, ring + 1)
+                           for dy in range(-ring, ring + 1)
+                           if 0 <= ix[i] + dx < n_side and 0 <= iy[i] + dy < n_side]
+            for (jx, jy) in cells_i:
+                out_id.append(ids[i])
+                out_src.append(src[i])
+                out_cell.append(int(cell_mod.encode(res, jx, jy)))
+                out_x.append(cx[i])
+                out_y.append(cy[i])
+        return pa.table({
+            "doc_id": pa.array(out_id, type=pa.string()),
+            "source": pa.array(out_src, type=pa.string()),
+            "cell": pa.array(out_cell, type=pa.int64()),
+            "cx": pa.array(out_x, type=pa.float64()),
+            "cy": pa.array(out_y, type=pa.float64()),
+        })
+
+    assigned = props.select_columns(["doc_id", "source", "cx", "cy"]) \
+        .map_batches(assign, batch_format="pyarrow")
+
+    # hot-cell salting: count per cell, broadcast the hot set, split index
+    # rows into sub-cells (cands replicate to all salts of their cell)
+    from ray.data.aggregate import Count
+    counts = assigned.groupby("cell").aggregate(Count(alias_name="n")).to_pandas()
+    hot = {int(c): int(np.ceil(n / salt_threshold))
+           for c, n in zip(counts.cell, counts.n) if n > salt_threshold}
+    hot_ref = ray.put(hot)
+
+    def salt(batch: pa.Table) -> pa.Table:
+        hot_map = ray.get(hot_ref)
+        if not hot_map:
+            return batch.append_column(
+                "salted", pc.cast(batch.column("cell"), pa.int64()))
+        cell = batch.column("cell").to_numpy()
+        src = np.asarray(batch.column("source").to_pylist())
+        ids = batch.column("doc_id").to_pylist()
+        h = stable_hash64(ids)
+        out_rows = {name: [] for name in batch.column_names}
+        out_salted = []
+        for i in range(batch.num_rows):
+            n_salt = hot_map.get(int(cell[i]), 1)
+            if n_salt == 1 or src[i] == "index":
+                salts = [int(h[i] % n_salt)] if n_salt > 1 else [0]
+            else:  # cand replicates to every sub-cell
+                salts = list(range(n_salt))
+            for s in salts:
+                for name in batch.column_names:
+                    out_rows[name].append(batch.column(name)[i].as_py())
+                out_salted.append((int(cell[i]) << 6) | s)
+        tbl = pa.table({name: out_rows[name] for name in batch.column_names})
+        return tbl.append_column("salted", pa.array(out_salted, type=pa.int64()))
+
+    salted = assigned.map_batches(salt, batch_format="pyarrow")
+
+    def local_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cands = g[g.source == "cands"]
+        idx = g[g.source == "index"]
+        if cands.empty or idx.empty:
+            return pd.DataFrame({"cand_id": pd.Series([], dtype="object"),
+                                 "index_id": pd.Series([], dtype="object"),
+                                 "dist2": pd.Series([], dtype="float64")})
+        cxy = cands[["cx", "cy"]].to_numpy()
+        ixy = idx[["cx", "cy"]].to_numpy()
+        d2 = ((cxy[:, None, :] - ixy[None, :, :]) ** 2).sum(-1)
+        kk = min(nn_param, d2.shape[1])
+        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        rows = np.arange(len(cxy))[:, None]
+        return pd.DataFrame({
+            "cand_id": np.repeat(cands.doc_id.to_numpy(), kk),
+            "index_id": idx.doc_id.to_numpy()[part].ravel(),
+            "dist2": d2[rows, part].ravel(),
+        })
+
+    local = salted.groupby("salted").map_groups(local_pairs, batch_format="pandas")
+
+    def rerank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["index_id"])
+        g = g.assign(_num=g.index_id.astype(np.int64))
+        g = g.sort_values(["dist2", "_num"]).head(nn_param)
+        g = g.drop(columns=["_num"]).reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g
+
+    return local.groupby("cand_id").map_groups(rerank, batch_format="pandas")

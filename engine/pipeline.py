@@ -280,3 +280,26 @@ def matching_inference_pipeline(docs: ray.data.Dataset, state: dict,
     return docs.map_batches(props_cands, batch_format="pyarrow") \
         .map_batches(BlockScoreActor, batch_format="pyarrow", batch_size=512,
                      concurrency=(min_actors, concurrency))
+
+
+def seed_averaged_eval(sf_dir: str, seeds=(1, 2, 3), n_cands: int | None = None,
+                       bkafi_dim: int = 6, k: int = 5,
+                       concurrency: int = 4) -> pd.DataFrame:
+    """Multi-seed evaluation averaged like the reference (main.py:32-36,
+    utils.py:280-346): per seed, blocking recall at each k and matching
+    P/R/F1; mean across seeds."""
+    rows = []
+    for seed in seeds:
+        res = run_flagship(sf_dir, n_cands=n_cands, seed=seed,
+                           bkafi_dim=bkafi_dim, k=k, concurrency=concurrency)
+        rec = res["blocking_recall"]
+        m = res["matching"]
+        row = {"seed": seed, "precision": m["precision"],
+               "recall": m["recall"], "f1": m["f1"]}
+        for _, r in rec.iterrows():
+            row[f"blocking_recall_at_{int(r.k)}"] = r.blocking_recall
+        rows.append(row)
+    df = pd.DataFrame(rows)
+    mean = df.drop(columns=["seed"]).mean().to_dict()
+    mean["seed"] = -1  # -1 = average row
+    return pd.concat([df, pd.DataFrame([mean])], ignore_index=True)

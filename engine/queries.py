@@ -246,6 +246,15 @@ def geo_threshold_sweep(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def geo_block_cells(sf_dir: str):
+    """Cell-partitioned blocking (the 10^12-scale shuffle path with hot-cell
+    salting): candidate pairs from spatial co-partitioning.  Rows-only."""
+    from engine.blocking import cell_blocking
+    props = _props(sf_dir)
+    return cell_blocking(props.select_columns(["doc_id", "source", "cx", "cy"]),
+                         res=9, ring=1)
+
+
 def geo_contamination(sf_dir: str):
     """Contamination robustness (contamination_experiments.py:67-85):
     contaminate 20% of test pair features, rescore, report flips.  Rows-only."""
@@ -345,6 +354,7 @@ QUERIES = {
     "q_events_running": q_events_running,
     "geo_block_centroid": geo_block_centroid,
     "geo_threshold_sweep": geo_threshold_sweep,
+    "geo_block_cells": geo_block_cells,
     "geo_contamination": geo_contamination,
     "text_stats": text_stats,
     "text_langid": text_langid,
