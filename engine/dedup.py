@@ -97,18 +97,42 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
     cand = exploded.groupby("shingle").map_groups(
         pairs_in_group, batch_format="pandas")
     cand_df = cand.to_pandas().drop_duplicates().reset_index(drop=True)
+    return _verify_pairs_broadcast(docs, cand_df, n, threshold)
 
-    # verify: exact jaccard via broadcast shingle sets (candidate set is small
-    # relative to the corpus; at scale this is a bucketed join on a_id/b_id)
+
+def _verify_pairs_broadcast(docs: ray.data.Dataset, cand_df: pd.DataFrame,
+                            n: int, threshold: float,
+                            pad: bool = False) -> ray.data.Dataset:
+    """Exact-Jaccard verification with a broadcast {doc -> shingle set} map.
+
+    Right choice when the candidate set is LARGE relative to the corpus
+    (n-gram blocking generates many low-precision candidates): the map is
+    built once with a distributed pass + small collect, then candidate
+    batches verify vectorized.  The per-pair-explode variant
+    (_verify_pairs_distributed) wins when candidates are few."""
     import ray
+
+    def doc_shingles(batch: pa.Table) -> pa.Table:
+        ids, sets_ = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            ids.append(int(d))
+            sets_.append([hashlib.md5(s.encode()).digest()[:8]
+                          for s in _shingles(t, n, pad=pad)])
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "shs": pa.array(sets_, type=pa.list_(pa.binary()))})
+
     sh_map = {}
-    for b in docs.iter_batches(batch_format="pyarrow"):
-        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
-            sh_map[d] = _shingles(t, n)
+    for b in docs.map_batches(doc_shingles, batch_format="pyarrow")             .iter_batches(batch_format="pyarrow"):
+        for d, s in zip(b.column("doc_id").to_pylist(),
+                        b.column("shs").to_pylist()):
+            sh_map[d] = set(s)
     ref = ray.put(sh_map)
-    cand_ds = ray.data.from_pandas(cand_df) if len(cand_df) else \
-        ray.data.from_arrow(pa.table({"a_id": pa.array([], type=pa.int64()),
-                                      "b_id": pa.array([], type=pa.int64())}))
+    if not len(cand_df):
+        return ray.data.from_arrow(pa.table({
+            "a_id": pa.array([], type=pa.int64()),
+            "b_id": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64())}))
 
     def verify(batch: pa.Table) -> pa.Table:
         m = ray.get(ref)
@@ -117,13 +141,82 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
         jac = np.empty(len(a))
         for i, (x, y) in enumerate(zip(a, b)):
             sa, sb = m[x], m[y]
+            if not sa or not sb:
+                jac[i] = 0.0
+                continue
             inter = len(sa & sb)
             jac[i] = inter / (len(sa) + len(sb) - inter)
         batch = batch.append_column("jaccard", pa.array(jac, type=pa.float64()))
         return batch.filter(pc.greater_equal(batch.column("jaccard"),
                                              pa.scalar(threshold)))
 
-    return cand_ds.map_batches(verify, batch_format="pyarrow")
+    return ray.data.from_pandas(cand_df).map_batches(
+        verify, batch_format="pyarrow", batch_size=8192)
+
+
+
+def _verify_pairs_distributed(docs: ray.data.Dataset, cand_df: pd.DataFrame,
+                              n: int, threshold: float,
+                              pad: bool = False) -> ray.data.Dataset:
+    """Exact-Jaccard verification of candidate pairs, distributed.
+
+    The (small) candidate pair list is broadcast; shingle rows of the
+    involved docs are exploded as (pair_idx, side, shingle-hash), one
+    groupby(pair_idx) co-locates both sides, jaccard is exact int ratio.
+    No driver-side pass over the corpus (the old version iterated every doc
+    on the driver, which serialized the whole operator)."""
+    import ray
+    if not len(cand_df):
+        return ray.data.from_arrow(pa.table({
+            "a_id": pa.array([], type=pa.int64()),
+            "b_id": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64())}))
+    pairs_list = list(zip(cand_df.a_id.astype(int), cand_df.b_id.astype(int)))
+    by_doc = {}
+    for pi, (a, b) in enumerate(pairs_list):
+        by_doc.setdefault(int(a), []).append((pi, 0))
+        by_doc.setdefault(int(b), []).append((pi, 1))
+    ref = ray.put(by_doc)
+    pairs_ref = ray.put(pairs_list)
+
+    def explode_involved(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        out_pi, out_side, out_sh = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            hits = m.get(int(d))
+            if not hits:
+                continue
+            shs = [hashlib.md5(s.encode()).digest()[:8]
+                   for s in _shingles(t, n, pad=pad)]
+            for (pi, side) in hits:
+                for sh in shs:
+                    out_pi.append(pi)
+                    out_side.append(side)
+                    out_sh.append(sh)
+        return pa.table({"pi": pa.array(out_pi, type=pa.int64()),
+                         "side": pa.array(out_side, type=pa.int8()),
+                         "sh": pa.array(out_sh, type=pa.binary())})
+
+    def jaccard_group(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                              "b_id": pd.Series([], dtype="int64"),
+                              "jaccard": pd.Series([], dtype="float64")})
+        pairs_l = ray.get(pairs_ref)
+        pi = int(g["pi"].iloc[0])
+        sa = set(g[g.side == 0].sh)
+        sb = set(g[g.side == 1].sh)
+        if not sa or not sb:
+            return empty
+        inter = len(sa & sb)
+        jac = inter / (len(sa) + len(sb) - inter)
+        if jac < threshold:
+            return empty
+        a, b = pairs_l[pi]
+        return pd.DataFrame({"a_id": [a], "b_id": [b], "jaccard": [jac]})
+
+    return docs.map_batches(explode_involved, batch_format="pyarrow") \
+        .groupby("pi").map_groups(jaccard_group, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -201,33 +294,7 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, num_perm: int = 64,
     cand = sigs.map_batches(band_explode, batch_format="pyarrow") \
         .groupby(["band", "bh"]).map_groups(pairs_in_bucket, batch_format="pandas")
     cand_df = cand.to_pandas().drop_duplicates().reset_index(drop=True)
-
-    import ray
-    sh_map = {}
-    for b in docs.iter_batches(batch_format="pyarrow"):
-        for d, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
-            sh_map[d] = _shingles(t, n, pad=True)
-    ref = ray.put(sh_map)
-    if not len(cand_df):
-        return ray.data.from_arrow(pa.table({
-            "a_id": pa.array([], type=pa.int64()),
-            "b_id": pa.array([], type=pa.int64()),
-            "jaccard": pa.array([], type=pa.float64())}))
-
-    def verify(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        a = batch.column("a_id").to_pylist()
-        b = batch.column("b_id").to_pylist()
-        jac = np.empty(len(a))
-        for i, (x, y) in enumerate(zip(a, b)):
-            sa, sb = m[x], m[y]
-            inter = len(sa & sb)
-            jac[i] = inter / (len(sa) + len(sb) - inter)
-        batch = batch.append_column("jaccard", pa.array(jac, type=pa.float64()))
-        return batch.filter(pc.greater_equal(batch.column("jaccard"),
-                                             pa.scalar(threshold)))
-
-    return ray.data.from_pandas(cand_df).map_batches(verify, batch_format="pyarrow")
+    return _verify_pairs_distributed(docs, cand_df, n, threshold, pad=True)
 
 
 def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
