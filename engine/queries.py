@@ -157,6 +157,31 @@ def geo_match(sf_dir: str):
         ["cand_id", "index_id", "rank", "label", "pred"])
 
 
+def geo_blocking_recall_grid(sf_dir: str):
+    """Blocking recall over a (bkafi_dim x k) grid with one trained prep —
+    the reference's full evaluation sweep (pipelines.py:381-394 over
+    bkafi_dim_list x cand_pairs_per_item_list).  Rows-only."""
+    import pandas as pd
+    from engine import blocking as blk, metrics
+    from engine.pipeline import build_property_tables, prep_train
+    from engine.geometry import PROPERTY_NAMES
+    props, cand_df, index_df = build_property_tables(sf_dir)
+    prep = prep_train(cand_df, index_df, seed=1)
+    test_cand_df = cand_df[cand_df.doc_id.isin(prep["test_ids"])]
+    cands = ray.data.from_pandas(
+        test_cand_df[["doc_id", *PROPERTY_NAMES]].reset_index(drop=True))
+    n_inter = len(set(test_cand_df.doc_id) & set(index_df.doc_id))
+    frames = []
+    for dim in (2, 4, 6, 10):
+        feats = blk.select_blocking_features(prep["importances"],
+                                             prep["ratios"], dim)
+        nn, _ = blk.bkafi_nn_dataset(cands, index_df, feats, dim,
+                                     concurrency=4)
+        frames.append(metrics.blocking_recall(
+            nn.materialize(), n_inter, ks=[1, 5, 10, 20]))
+    return pd.concat(frames, ignore_index=True)
+
+
 def geo_blocking_metrics(sf_dir: str):
     """Blocking recall / PC@K table for the flagship run (rows-only)."""
     from engine.pipeline import run_flagship
@@ -344,6 +369,7 @@ QUERIES = {
     "geo_block_bkafi": geo_block_bkafi,
     "geo_match": geo_match,
     "geo_blocking_metrics": geo_blocking_metrics,
+    "geo_blocking_recall_grid": geo_blocking_recall_grid,
     "q_lineitem_agg": q_lineitem_agg,
     "q_orders_by_nation": q_orders_by_nation,
     "q_top_orders": q_top_orders,

@@ -164,3 +164,37 @@ def test_blocker_registry():
     assert get_blocker("bkafi") is not None
     with pytest.raises(ValueError):
         get_blocker("nope")
+
+
+def test_sdr_factor_scales_cands(ray_session):
+    """SDR factor (blocking.py:166-174): cand vectors multiplied by the
+    train property-ratio means before the search changes the ranking when
+    factors != 1."""
+    import pandas as pd
+    import ray.data
+    from engine import blocking as blk
+    rng = np.random.default_rng(0)
+    feats = ["f1", "f2"]
+    index_df = pd.DataFrame({"doc_id": [str(i) for i in range(50)],
+                             "f1": rng.normal(10, 2, 50),
+                             "f2": rng.normal(5, 1, 50)})
+    cand_df = pd.DataFrame({"doc_id": ["100"], "f1": [10.0], "f2": [5.0]})
+    cands = ray.data.from_pandas(cand_df)
+    nn1, _ = blk.bkafi_nn_dataset(cands, index_df, feats, 2, nn_param=5,
+                                  concurrency=1)
+    nn2, _ = blk.bkafi_nn_dataset(ray.data.from_pandas(cand_df), index_df,
+                                  feats, 2, sdr_factors=np.array([2.0, 0.5]),
+                                  nn_param=5, concurrency=1)
+    a = nn1.to_pandas().sort_values("rank").index_id.tolist()
+    b = nn2.to_pandas().sort_values("rank").index_id.tolist()
+    assert a != b  # the factor genuinely alters the query point
+
+
+def test_bkafi_std_criterion():
+    from engine.blocking import select_blocking_features
+    ratios = {"volume": {"mean": 1.0, "std": 0.01},
+              "area": {"mean": 1.0, "std": 0.02},
+              "height_diff": {"mean": 1.0, "std": 0.5}}
+    imp = [("area_ratio", 0.9), ("height_diff_ratio", 0.5), ("volume_ratio", 0.1)]
+    assert select_blocking_features(imp, ratios, 2, "std") == ["volume", "area"]
+    assert select_blocking_features(imp, ratios, 2) == ["area", "height_diff"]
