@@ -258,3 +258,16 @@ SELECT user_id, event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+REL_EVENTS_ASOF = """
+WITH last_date AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         (SELECT MAX(o.o_orderdate) FROM orders o
+          WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS od
+  FROM events e
+)
+SELECT l.event_id, l.user_id,
+       (SELECT MAX(o.o_orderkey) FROM orders o
+        WHERE o.o_custkey = l.user_id AND o.o_orderdate = l.od) AS last_orderkey
+FROM last_date l WHERE l.od IS NOT NULL
+"""

@@ -230,6 +230,10 @@ def q_events_running(sf_dir: str):
     return relational.events_running(sf_dir)
 
 
+def q_events_asof(sf_dir: str):
+    return relational.events_asof_join(sf_dir)
+
+
 def geo_block_centroid(sf_dir: str):
     """Exhaustive centroid blocker (reference 'centroid' method,
     blocking.py:62-76): top-21 nearest index centroids per cand.  Rows-only."""
@@ -378,6 +382,7 @@ QUERIES = {
     "q_customers_without_orders": q_customers_without_orders,
     "q_part_brand_agg": q_part_brand_agg,
     "q_events_running": q_events_running,
+    "q_events_asof": q_events_asof,
     "geo_block_centroid": geo_block_centroid,
     "geo_threshold_sweep": geo_threshold_sweep,
     "geo_block_cells": geo_block_cells,
@@ -412,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
         "q_customers_without_orders": o.REL_CUSTOMERS_WITHOUT_ORDERS,
         "q_part_brand_agg": o.REL_PART_BRAND_AGG,
         "q_events_running": o.REL_EVENTS_RUNNING,
+        "q_events_asof": o.REL_EVENTS_ASOF,
         "text_stats": o.TEXT_STATS,
         "dedup_exact": o.DEDUP_EXACT,
         "dedup_ngram": o.DEDUP_NGRAM,

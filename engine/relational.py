@@ -134,3 +134,44 @@ def events_running(sf_dir: str) -> ray.data.Dataset:
         })
 
     return ds.groupby("user_id").map_groups(window, batch_format="pandas")
+
+
+def events_asof_join(sf_dir: str) -> ray.data.Dataset:
+    """As-of join: each event matched to the latest order of the same
+    customer with o_orderdate <= event ts (ties on date broken by max
+    orderkey — fully deterministic).
+
+    Physical plan (ray_guide.md as-of recipe): orders are small per user ->
+    broadcast, events groupby(user) with pd.merge_asof per sorted group.
+    Events with no prior order are dropped (inner as-of).
+    """
+    import pandas as pd
+    import ray
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    ref = ray.put(orders)
+    events = _t(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        od = ray.get(ref)
+        uid = int(g["user_id"].iloc[0])
+        mine = od[od.o_custkey == uid]
+        if mine.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "last_orderkey": pd.Series([], dtype="int64")})
+        g = g.sort_values(["ts", "event_id"])
+        merged = pd.merge_asof(
+            g[["event_id", "ts", "user_id"]], 
+            mine[["o_orderdate", "o_orderkey"]].rename(
+                columns={"o_orderdate": "ts"}),
+            on="ts", direction="backward")
+        merged = merged.dropna(subset=["o_orderkey"])
+        return pd.DataFrame({
+            "event_id": merged["event_id"].astype("int64").to_numpy(),
+            "user_id": merged["user_id"].astype("int64").to_numpy(),
+            "last_orderkey": merged["o_orderkey"].astype("int64").to_numpy(),
+        })
+
+    return events.groupby("user_id").map_groups(asof, batch_format="pandas")
