@@ -271,3 +271,37 @@ SELECT l.event_id, l.user_id,
         WHERE o.o_custkey = l.user_id AND o.o_orderdate = l.od) AS last_orderkey
 FROM last_date l WHERE l.od IS NOT NULL
 """
+
+# all-roof-type subset: bbox, height, counts, and EXACT volume closed forms.
+# The kernel accumulates the integer-dyadic 6V numerator and divides once,
+# so SQL replicates with the same single division: (6V_num)/6.
+GEO_PROPERTIES_ROOFS = """
+WITH h AS (
+  SELECT doc_id AS k, doc_id % 5 AS roof,
+         (doc_id * 2654435761 + 12345) AS hv
+  FROM documents
+), d AS (
+  SELECT k, roof,
+    4 + (hv % 24) + ((hv // 24) % 8) / 8.0 AS w,
+    5 + ((hv // 192) % 30) + ((hv // 1536) % 8) / 8.0 AS l,
+    3 + ((hv // 12288) % 18) + ((hv // 98304) % 8) / 8.0 AS ht,
+    1 + ((hv // 786432) % 6) + ((hv // 4718592) % 8) / 8.0 AS rise
+  FROM h
+)
+SELECT CAST(k AS VARCHAR) AS doc_id,
+  CAST(roof AS INTEGER) AS roof,
+  w AS bounding_box_width,
+  l AS bounding_box_length,
+  CASE WHEN roof = 0 THEN ht ELSE ht + rise END AS height_diff,
+  CASE roof
+    WHEN 0 THEN (6 * (w * l * ht)) / 6
+    WHEN 1 THEN (6 * (w * l * ht) + 3 * (w * l * rise)) / 6
+    WHEN 2 THEN (6 * (w * l * ht) + 3 * (w * l * rise)) / 6
+    WHEN 3 THEN (6 * (w * l * ht) + 3 * w * rise * (l - 2 * (least(w, l) / 4))
+                 + 4 * (w * (least(w, l) / 4) * rise)) / 6
+    ELSE (6 * (w * l * ht) + 2 * (w * l * rise)) / 6
+  END AS volume,
+  CASE WHEN roof = 4 THEN 15.0 ELSE 16.0 END AS num_vertices,
+  CASE WHEN roof = 0 THEN 3.0 ELSE 4.0 END AS num_floors
+FROM d
+"""

@@ -67,6 +67,24 @@ def geo_properties_all(sf_dir: str):
     return _props(sf_dir).select_columns(["doc_id", "source", *PROPERTY_NAMES])
 
 
+def geo_properties_roofs(sf_dir: str):
+    """All-roof-type SQL-exact subset: bbox, height_diff, EXACT volume (all
+    five roof archetypes incl. hipped/pyramidal), vertex/floor counts —
+    checks the 3D volume kernel on non-box geometry bit-for-bit."""
+    import pyarrow.compute as pc
+    props = _props(sf_dir)
+
+    def pick(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("source"), pa.scalar("cands")))
+        ks = np.asarray([int(d) for d in b.column("doc_id").to_pylist()])
+        b = b.append_column("roof", pa.array((ks % 5).astype(np.int32)))
+        return b.select(["doc_id", "roof", "bounding_box_width",
+                         "bounding_box_length", "height_diff", "volume",
+                         "num_vertices", "num_floors"])
+
+    return props.map_batches(pick, batch_format="pyarrow")
+
+
 def geo_centroids(sf_dir: str):
     return _flat_cands(_props(sf_dir)).select_columns(["doc_id", "cx", "cy"])
 
@@ -366,6 +384,7 @@ def multimodal_features(sf_dir: str):
 QUERIES = {
     "geo_properties": geo_properties,
     "geo_properties_all": geo_properties_all,
+    "geo_properties_roofs": geo_properties_roofs,
     "geo_centroids": geo_centroids,
     "geo_tiles": geo_tiles,
     "geo_pip": geo_pip,
@@ -405,6 +424,7 @@ def oracle_sql() -> dict[str, str]:
     from engine import oracles as o
     return {
         "geo_properties": o.GEO_PROPERTIES,
+        "geo_properties_roofs": o.GEO_PROPERTIES_ROOFS,
         "geo_centroids": o.GEO_CENTROIDS,
         "geo_tiles": o.GEO_TILES,
         "geo_pip": o.GEO_PIP,
