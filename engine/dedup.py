@@ -317,6 +317,33 @@ def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(sim, batch_format="pyarrow")
 
 
+def planted_neardup_embeddings(emb: ray.data.Dataset) -> ray.data.Dataset:
+    """embeddings ∪ jittered copies of every vec_id % 5 == 0 at
+    vec_id+100000 (deterministic ~1% perturbation -> cosine ≈ 0.999), so the
+    near-dup operator has planted positives at any scale."""
+    def dup(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        mask = ids % 5 == 0
+        keep = batch.filter(pa.array(mask))
+        vecs = np.asarray(keep.column("embedding").to_pylist(), dtype=np.float32)
+        kept_ids = keep.column("vec_id").to_numpy()
+        jit = np.empty_like(vecs)
+        for i, vid in enumerate(kept_ids):
+            rng = np.random.default_rng(9000 + int(vid))
+            jit[i] = vecs[i] + 0.01 * rng.standard_normal(vecs.shape[1]).astype(np.float32)
+        extra = pa.table({
+            "vec_id": pa.array(kept_ids + 100000),
+            "embedding": pa.array([v.tolist() for v in jit],
+                                  type=batch.schema.field("embedding").type),
+        })
+        base = pa.table({"vec_id": batch.column("vec_id"),
+                         "embedding": batch.column("embedding")})
+        return pa.concat_tables([base, extra])
+
+    return emb.select_columns(["vec_id", "embedding"]).map_batches(
+        dup, batch_format="pyarrow")
+
+
 def embedding_near_dup(emb: ray.data.Dataset, threshold: float = 0.95,
                        block_bits: int = 6) -> ray.data.Dataset:
     """Embedding-cosine near-dup: random-hyperplane LSH buckets then exact

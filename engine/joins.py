@@ -109,13 +109,13 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     lt = left.map_batches(tag("l", left_key), batch_format="pyarrow")
     rt = right.map_batches(tag("r", right_key), batch_format="pyarrow")
 
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"].drop(columns=["__side", "__bucket"])
-        rg = g[g["__side"] == "r"].drop(columns=["__side", "__bucket"])
-        lg = lg.dropna(axis=1, how="all")
-        rg = rg.dropna(axis=1, how="all")
-        out = lg.merge(rg, left_on=left_key, right_on=right_key, how=how)
-        return out
+        lg = g[g["__side"] == "l"][lcols]
+        rg = g[g["__side"] == "r"][rcols]
+        return lg.merge(rg, left_on=left_key, right_on=right_key, how=how)
 
     return lt.union(rt).groupby("__bucket").map_groups(
         join_group, batch_format="pandas")

@@ -360,8 +360,12 @@ def dedup_simhash(sf_dir: str):
 
 
 def dedup_embedding(sf_dir: str):
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return dedup.embedding_near_dup(emb, threshold=0.45)
+    """Embedding near-dup over a corpus with planted jittered copies
+    (cosine ~0.999); natural pairs are near-orthogonal.  Rows-only."""
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+    return dedup.embedding_near_dup(
+        dedup.planted_neardup_embeddings(emb), threshold=0.98)
 
 
 def sim_knn_cosine(sf_dir: str):

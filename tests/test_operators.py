@@ -203,3 +203,34 @@ def test_kabsch_alignment_recovers_transform():
     tgt = 2.0 * (src @ R) + np.array([5.0, -3.0])
     aligned = kabsch_transform(src, tgt)
     assert np.abs(aligned - tgt).max() < 1e-8
+
+
+def test_embedding_near_dup_recovers_planted(ray_session):
+    from engine.dedup import embedding_near_dup, planted_neardup_embeddings
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    out = embedding_near_dup(planted_neardup_embeddings(emb),
+                             threshold=0.98).to_pandas()
+    planted = {(i, i + 100000) for i in range(0, 500, 5)}
+    found = set(zip(out.a_id, out.b_id))
+    # hyperplane LSH is approximate: jittered copy may land in a different
+    # bucket occasionally; require strong-majority recall and no junk
+    assert len(planted & found) / len(planted) >= 0.7
+    assert (out.cosine >= 0.98).all()
+
+
+def test_bucketed_hash_join_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+    from engine.joins import bucketed_hash_join
+    rng = np.random.default_rng(1)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 300), "x": rng.random(300)})
+    right = pd.DataFrame({"rk": np.arange(50), "y": rng.random(50)})
+    got = bucketed_hash_join(ray.data.from_pandas(left),
+                             ray.data.from_pandas(right),
+                             "k", "rk", num_buckets=8).to_pandas()
+    want = left.merge(right, left_on="k", right_on="rk")
+    assert len(got) == len(want)
+    g = got.sort_values(["k", "x"]).reset_index(drop=True)
+    w = want.sort_values(["k", "x"]).reset_index(drop=True)
+    assert (g.y.to_numpy() == w.y.to_numpy()).all()
