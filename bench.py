@@ -112,23 +112,43 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling():
+def _scaling_pair(lo: int, hi: int, n_cands: int | None = None) -> dict:
     import subprocess
     out = {}
-    for ncpu in (8, 32):
+    for ncpu in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_FAST="1",
                    BENCH_CACHE_STATE="1")
+        if n_cands:
+            env["GEO_BENCH_CANDS"] = str(n_cands)
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True, check=True)
         out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])
-    t8, t32 = out[8]["value"], out[32]["value"]
-    thr8, thr32 = out[8]["docs_per_s"], out[32]["docs_per_s"]
-    eff = thr32 / (4.0 * thr8)
+    thr_lo, thr_hi = out[lo]["docs_per_s"], out[hi]["docs_per_s"]
+    return {
+        f"sec_{lo}": out[lo]["value"], f"sec_{hi}": out[hi]["value"],
+        f"docs_per_s_{lo}": thr_lo, f"docs_per_s_{hi}": thr_hi,
+        "efficiency": round(thr_hi / (4.0 * thr_lo), 3),
+        "out": out,
+    }
+
+
+def run_scaling():
+    """Primary pair 8->32 cpus on the full bench corpus; secondary pair
+    2->8 cpus on a quarter-size corpus (both are 'N and 4N' runs; the
+    smaller pair avoids this host's sustained-full-width slowdown and shows
+    the pipeline's intrinsic scaling)."""
+    main = _scaling_pair(8, 32)
+    small = _scaling_pair(2, 8, n_cands=20000)
     print(json.dumps({
-        "sec_8": t8, "sec_32": t32,
-        "docs_per_s_8": thr8, "docs_per_s_32": thr32,
-        "scaling_efficiency": round(eff, 3),
-        "queries_8": out[8]["queries"], "queries_32": out[32]["queries"],
+        "sec_8": main["sec_8"], "sec_32": main["sec_32"],
+        "docs_per_s_8": main["docs_per_s_8"],
+        "docs_per_s_32": main["docs_per_s_32"],
+        "scaling_efficiency": main["efficiency"],
+        "scaling_efficiency_2_to_8": small["efficiency"],
+        "docs_per_s_2": small["docs_per_s_2"],
+        "docs_per_s_8_small": small["docs_per_s_8"],
+        "queries_8": main["out"][8]["queries"],
+        "queries_32": main["out"][32]["queries"],
     }))
 
 
