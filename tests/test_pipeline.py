@@ -95,3 +95,16 @@ def test_threshold_filter_monotonic(ray_session):
     counts = [blk.threshold_filter(nn, float(q)).count() for q in qs]
     assert counts[0] <= counts[1] <= counts[2]
     assert counts[2] <= nn.count()
+
+
+def test_flagship_fully_deterministic(ray_session):
+    """Same seed -> bit-identical scored pairs across independent runs
+    (stable hashes, seeded RF, deterministic tie-breaks — SURVEY §7.4.6)."""
+    from engine.pipeline import run_flagship
+    a = run_flagship(SF, seed=2, bkafi_dim=4, k=3)["scored"].to_pandas()
+    b = run_flagship(SF, seed=2, bkafi_dim=4, k=3)["scored"].to_pandas()
+    a = a.sort_values(["cand_id", "index_id"]).reset_index(drop=True)
+    b = b.sort_values(["cand_id", "index_id"]).reset_index(drop=True)
+    assert (a.index_id.to_numpy() == b.index_id.to_numpy()).all()
+    assert (a.pred.to_numpy() == b.pred.to_numpy()).all()
+    assert (a.dist.to_numpy() == b.dist.to_numpy()).all()
