@@ -219,11 +219,35 @@ def kabsch_transform(source: np.ndarray, target: np.ndarray) -> np.ndarray:
 # Blocker registry — the reference's name -> method dispatch (blocking.py:47-56)
 # ---------------------------------------------------------------------------
 
+def embedding_nn_dataset(cand_emb: pd.DataFrame, index_emb: pd.DataFrame,
+                         nn_param: int = NN_PARAM) -> pd.DataFrame:
+    """Embedding blocker (the reference's ViT path, blocking.py:176-191):
+    inner-product top-k over per-object embedding vectors.  Embeddings come
+    from any encoder stage (e.g. multimodal.media_features); ties by numeric
+    doc id like every other blocker."""
+    cv = np.asarray(cand_emb["feature"].tolist(), dtype=np.float64)
+    iv = np.asarray(index_emb["feature"].tolist(), dtype=np.float64)
+    sim = cv @ iv.T
+    kk = min(nn_param, sim.shape[1])
+    idx_num = index_emb["doc_id"].astype(np.int64).to_numpy()
+    part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+    rows = np.arange(len(cv))[:, None]
+    order = np.lexsort((idx_num[part], -sim[rows, part]), axis=1)
+    top = np.take_along_axis(part, order, axis=1)
+    return pd.DataFrame({
+        "cand_id": np.repeat(cand_emb["doc_id"].to_numpy(), kk),
+        "index_id": index_emb["doc_id"].to_numpy()[top].ravel(),
+        "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(cv)),
+        "score": sim[rows, np.take_along_axis(part, order, axis=1)].ravel(),
+    })
+
+
 BLOCKER_REGISTRY = {
     "bkafi": bkafi_nn_dataset,             # feature-space kNN (actor pool)
     "centroid": centroid_nn_dataset,       # exhaustive 2D centroid L2
     "centroid_with_transform": lambda c, i, **kw: centroid_nn_dataset(
         c, i, transform=True, **kw),
+    "embedding": embedding_nn_dataset,     # ViT/CLIP-slot inner-product top-k
 }
 
 

@@ -41,18 +41,22 @@ class MediaFeatureActor:
         self.decode = _decode_image_stub
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, refs, offsets, feats = [], [], [], []
-        for d, spans in zip(batch.column("doc_id").to_pylist(),
-                            batch.column("spans").to_pylist()):
+        has_source = "source" in batch.column_names
+        sources = batch.column("source").to_pylist() if has_source             else [""] * batch.num_rows
+        doc_ids, srcs, refs, offsets, feats = [], [], [], [], []
+        for d, so, spans in zip(batch.column("doc_id").to_pylist(), sources,
+                                batch.column("spans").to_pylist()):
             for s in spans:
                 if s["kind"] != "media" or not s["media_ref"]:
                     continue
                 doc_ids.append(d)
+                srcs.append(so)
                 refs.append(s["media_ref"])
                 offsets.append(s["offset"])
                 feats.append(self.decode(s["media_ref"]).tolist())
         return pa.table({
             "doc_id": pa.array(doc_ids, type=pa.string()),
+            "source": pa.array(srcs, type=pa.string()),
             "media_ref": pa.array(refs, type=pa.string()),
             "offset": pa.array(offsets, type=pa.int32()),
             "feature": pa.array(feats, type=pa.list_(pa.float64())),

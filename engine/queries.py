@@ -313,6 +313,18 @@ def geo_block_cells(sf_dir: str):
                          res=9, ring=1)
 
 
+def geo_block_embedding(sf_dir: str):
+    """Embedding blocker over per-doc media-span features (the reference's
+    ViT-B/32 baseline slot: encoder stage -> faiss IndexFlatIP top-k,
+    blocking.py:176-191).  Rows-only."""
+    from engine.blocking import get_blocker
+    from engine.multimodal import media_features
+    feats = media_features(corpus_dataset(sf_dir)).to_pandas()
+    cand = feats[feats.source == "cands"].reset_index(drop=True)
+    index = feats[feats.source == "index"].reset_index(drop=True)
+    return get_blocker("embedding")(cand, index, nn_param=5)
+
+
 def geo_contamination(sf_dir: str):
     """Contamination robustness (contamination_experiments.py:67-85):
     contaminate 20% of test pair features, rescore, report flips.  Rows-only."""
@@ -420,6 +432,7 @@ QUERIES = {
     "geo_block_centroid": geo_block_centroid,
     "geo_threshold_sweep": geo_threshold_sweep,
     "geo_block_cells": geo_block_cells,
+    "geo_block_embedding": geo_block_embedding,
     "geo_contamination": geo_contamination,
     "text_stats": text_stats,
     "text_langid": text_langid,

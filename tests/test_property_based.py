@@ -65,7 +65,10 @@ def test_ratio_features_laws(c, i):
     if i == 0.0:
         assert out == 0.0
     else:
-        assert out == min(1000.0, float(np.round(c / i, 3)))
+        want = min(1000.0, float(np.round(c / i, 3)))
+        if not np.isfinite(want):
+            want = 0.0  # overflow ratios -> 0, like the reference's error branch
+        assert out == want
 
 
 @settings(max_examples=20, deadline=None)
