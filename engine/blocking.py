@@ -68,15 +68,20 @@ def bkafi_nn_dataset(cand_props: ray.data.Dataset, index_df: pd.DataFrame,
     driver-side collect of just the selected columns (exact quantiles).
     Returns (nn dataset with bkafi_dim/cand_id/index_id/rank/dist, exec_seconds).
     """
+    sdr = np.ones(len(features)) if sdr_factors is None else np.asarray(
+        sdr_factors, dtype=np.float64)
     cand_narrow = cand_props.select_columns(["doc_id", *features]).to_pandas()
-    med, iqr = robust_scale_stats(cand_narrow, features)
+    # fit on the sdr-scaled cand columns (reference blocking.py:154-174 +
+    # 107-112 multiplies cand vectors by the factor BEFORE fit_transform);
+    # the factor's net effect then falls on the index transform while cand
+    # query points are unchanged
+    med, iqr = robust_scale_stats(cand_narrow[features] * sdr, features)
 
     idx_mat = (index_df[features].to_numpy(dtype=np.float64) - med) / iqr
     idx_ids = index_df["doc_id"].to_numpy()
     idx_num = index_df["doc_id"].astype(np.int64).to_numpy()
     start = time.time()
     ref = ray.put((idx_mat, idx_ids, idx_num, med, iqr))
-    sdr = np.ones(len(features)) if sdr_factors is None else np.asarray(sdr_factors)
 
     # float32 like the reference's vectors (blocking.py:109-110).  Tile sizes
     # keep the distance block (tile*chunk*4B ~ 1 MiB) L2-resident: this stage

@@ -70,8 +70,10 @@ class DecisionTree:
 
     def _new_node(self):
         for arr in (self.feature, self.threshold, self.left, self.right, self.proba):
-            arr.append(-1 if arr is self.feature else
-                       (0.0 if arr in (self.threshold, self.proba) else -1))
+            # identity checks (is), not ==: empty lists compare equal, which
+            # would misroute left/right to the float branch on the root node
+            arr.append(0.0 if (arr is self.threshold or arr is self.proba)
+                       else -1)
         return len(self.feature) - 1
 
     def _build(self, X, y, idx, depth, rng, k, n_total):

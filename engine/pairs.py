@@ -34,15 +34,17 @@ def props_matrix(props_df: pd.DataFrame) -> tuple[dict, np.ndarray]:
 
 
 def ratio_features(cand_vals: np.ndarray, index_vals: np.ndarray) -> np.ndarray:
-    """Vectorized reference ratio kernel: round(c/i, 3) clipped at 1000;
-    i == 0 -> 0.0 (the reference's except-branch, process_pairs.py:51-53)."""
+    """Vectorized reference ratio kernel: min(1000, round(c/i, 3)).
+
+    Reference values are numpy float64 scalars, so i == 0 never raises
+    (the except-branch at process_pairs.py:51-53 is dead for the division
+    operator): c/0 -> inf -> min(1000, inf) = 1000, and 0/0 -> nan ->
+    Python min(1000, nan) = 1000.  We reproduce exactly that."""
     with np.errstate(divide="ignore", invalid="ignore"):
         r = cand_vals / index_vals
     r = np.round(r, 3)
-    r = np.minimum(r, MAX_RATIO_VAL)
-    r[~np.isfinite(r)] = 0.0
-    r[index_vals == 0.0] = 0.0
-    return r
+    r[np.isnan(r)] = MAX_RATIO_VAL
+    return np.minimum(r, MAX_RATIO_VAL)
 
 
 def pair_features_dataset(pairs: ray.data.Dataset,

@@ -36,16 +36,16 @@ def brute_knn(emb: ray.data.Dataset, query_ids: list[int], k: int = 10) -> pd.Da
         vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
         sim = qn_ @ vn.T  # (nq, nb)
         kk = min(k, sim.shape[1])
-        part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
-        rows = []
-        for qi in range(len(qids_)):
-            for j in part[qi]:
-                rows.append((int(qids_[qi]), int(ids[j]), float(sim[qi, j])))
-        arr = np.asarray(rows, dtype=object)
+        # tie-aware local reduce: full lexsort by (-sim, id) per row so the
+        # local top-k agrees with the global (sim DESC, id ASC) tie-break —
+        # argpartition alone keeps an arbitrary subset of boundary ties
+        order = np.lexsort((np.broadcast_to(ids, sim.shape), -sim),
+                           axis=1)[:, :kk]
         return pa.table({
-            "qid": pa.array([r[0] for r in rows], type=pa.int64()),
-            "neighbor_id": pa.array([r[1] for r in rows], type=pa.int64()),
-            "sim": pa.array([r[2] for r in rows], type=pa.float64()),
+            "qid": pa.array(np.repeat(qids_.astype(np.int64), kk)),
+            "neighbor_id": pa.array(ids[order].ravel().astype(np.int64)),
+            "sim": pa.array(np.take_along_axis(sim, order, axis=1).ravel(),
+                            type=pa.float64()),
         })
 
     partials = emb.map_batches(local_topk, batch_format="pyarrow").to_pandas()

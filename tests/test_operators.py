@@ -137,8 +137,12 @@ def test_ratio_features_reference_semantics():
     i = np.array([[1.0, 0.0, 0.0001]])
     out = ratio_features(c, i)
     assert out[0, 0] == 2.0
-    assert out[0, 1] == 0.0        # div-by-zero -> 0.0 (except branch)
+    # numpy scalar semantics: c/0 -> inf -> min(1000, inf) = 1000 (the
+    # reference's except branch never fires for float64 operands)
+    assert out[0, 1] == 1000.0
     assert out[0, 2] == 1000.0     # clipped at max_ratio_val
+    # 0/0 -> nan -> min(1000, nan) = 1000 under Python min()
+    assert ratio_features(np.array([[0.0]]), np.array([[0.0]]))[0, 0] == 1000.0
     assert ratio_features(np.array([[1.0]]), np.array([[3.0]]))[0, 0] == 0.333
 
 
