@@ -44,6 +44,66 @@ def robust_scale_stats(df: pd.DataFrame, cols: list[str]):
     return med, iqr
 
 
+def weighted_percentile(values: np.ndarray, counts: np.ndarray, q: float) -> float:
+    """np.percentile(method='linear') over a weighted (value, count)
+    distribution, replicating numpy's virtual-index + lerp arithmetic
+    bit-for-bit (numpy _quantile: virtual = q/100 * (n-1); lerp uses
+    b - (b-a)*(1-t) for t >= 0.5).  ``values`` must be sorted ascending."""
+    n = int(counts.sum())
+    virtual = (q / 100.0) * (n - 1)
+    lo = int(np.floor(virtual))
+    t = virtual - lo
+    cum = np.cumsum(counts)
+    a = float(values[np.searchsorted(cum, lo, side="right")])
+    hi = min(lo + 1, n - 1)
+    b = float(values[np.searchsorted(cum, hi, side="right")])
+    diff = b - a
+    if t >= 0.5:
+        return b - diff * (1.0 - t)
+    return a + diff * t
+
+
+def robust_scale_stats_ds(ds: ray.data.Dataset, cols: list[str],
+                          sdr: np.ndarray | None = None):
+    """Distributed RobustScaler stats: per-block (col, value) count partials
+    -> one groupby-sum shuffle -> exact weighted percentiles from the merged
+    distribution.  Driver memory is O(distinct values), never O(rows), and
+    the result is bit-equal to np.percentile over the collected column
+    (tested).  At 10^12 rows the exact count merge becomes a t-digest
+    sketch; the two-pass fit->broadcast shape is unchanged (SURVEY §7.4.2).
+
+    ``sdr``: positive per-column factors applied to the values BEFORE the
+    percentiles (the reference's fit-on-sdr-scaled-cands semantics)."""
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        outs = []
+        for j, c in enumerate(cols):
+            v, n = np.unique(batch.column(c).to_numpy(), return_counts=True)
+            outs.append(pa.table({
+                "col": pa.array(np.full(len(v), j, dtype=np.int32)),
+                "value": pa.array(v, type=pa.float64()),
+                "n": pa.array(n.astype(np.int64)),
+            }))
+        return pa.concat_tables(outs)
+
+    agg = ds.select_columns(cols).map_batches(counts, batch_format="pyarrow") \
+        .groupby(["col", "value"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    sdr = np.ones(len(cols)) if sdr is None else np.asarray(sdr, dtype=np.float64)
+    med, q25, q75 = (np.empty(len(cols)) for _ in range(3))
+    for j in range(len(cols)):
+        g = agg[agg.col == j].sort_values("value")
+        vals = g["value"].to_numpy() * sdr[j]
+        cnt = g["n"].to_numpy()
+        med[j] = weighted_percentile(vals, cnt, 50)
+        q75[j] = weighted_percentile(vals, cnt, 75)
+        q25[j] = weighted_percentile(vals, cnt, 25)
+    iqr = q75 - q25
+    iqr[iqr == 0.0] = 1.0
+    return med, iqr
+
+
 def select_blocking_features(feature_importances: list[tuple[str, float]],
                              property_ratios: dict[str, dict],
                              bkafi_dim: int,
@@ -60,22 +120,24 @@ def bkafi_nn_dataset(cand_props: ray.data.Dataset, index_df: pd.DataFrame,
                      features: list[str], bkafi_dim: int,
                      sdr_factors: np.ndarray | None = None,
                      nn_param: int = NN_PARAM,
-                     concurrency: int = 4) -> tuple[ray.data.Dataset, float]:
+                     concurrency: int = 4,
+                     stats: tuple | None = None) -> tuple[ray.data.Dataset, float]:
     """kNN of every cand against the index in the selected feature space.
 
     ``cand_props`` streams; ``index_df`` (doc_id + selected columns, pandas)
-    is scaled and broadcast.  Scaler stats are fit on the cand side: a narrow
-    driver-side collect of just the selected columns (exact quantiles).
+    is scaled and broadcast (the small side by design — the shuffle
+    alternative is cell_blocking).  Scaler stats are fit on the cand side
+    with the DISTRIBUTED exact-quantile aggregate (never collects the
+    column), on the sdr-scaled cand values (reference blocking.py:154-174 +
+    107-112 multiplies cand vectors by the factor BEFORE fit_transform, so
+    the factor's net effect falls on the index transform while cand query
+    points are unchanged).  ``stats``: optional precomputed (med, iqr).
     Returns (nn dataset with bkafi_dim/cand_id/index_id/rank/dist, exec_seconds).
     """
     sdr = np.ones(len(features)) if sdr_factors is None else np.asarray(
         sdr_factors, dtype=np.float64)
-    cand_narrow = cand_props.select_columns(["doc_id", *features]).to_pandas()
-    # fit on the sdr-scaled cand columns (reference blocking.py:154-174 +
-    # 107-112 multiplies cand vectors by the factor BEFORE fit_transform);
-    # the factor's net effect then falls on the index transform while cand
-    # query points are unchanged
-    med, iqr = robust_scale_stats(cand_narrow[features] * sdr, features)
+    med, iqr = stats if stats is not None else robust_scale_stats_ds(
+        cand_props, features, sdr=sdr)
 
     idx_mat = (index_df[features].to_numpy(dtype=np.float64) - med) / iqr
     idx_ids = index_df["doc_id"].to_numpy()
@@ -224,27 +286,42 @@ def kabsch_transform(source: np.ndarray, target: np.ndarray) -> np.ndarray:
 # Blocker registry — the reference's name -> method dispatch (blocking.py:47-56)
 # ---------------------------------------------------------------------------
 
-def embedding_nn_dataset(cand_emb: pd.DataFrame, index_emb: pd.DataFrame,
-                         nn_param: int = NN_PARAM) -> pd.DataFrame:
+def embedding_nn_dataset(cand_emb: ray.data.Dataset, index_emb: pd.DataFrame,
+                         nn_param: int = NN_PARAM,
+                         concurrency: int = 4) -> ray.data.Dataset:
     """Embedding blocker (the reference's ViT path, blocking.py:176-191):
-    inner-product top-k over per-object embedding vectors.  Embeddings come
-    from any encoder stage (e.g. multimodal.media_features); ties by numeric
-    doc id like every other blocker."""
-    cv = np.asarray(cand_emb["feature"].tolist(), dtype=np.float64)
+    inner-product top-k over per-object embedding vectors, as a streaming
+    map_batches with the (small-side) index embedding matrix broadcast —
+    the same physical shape as its bkafi sibling, never a driver-side
+    all-pairs matmul.  ``cand_emb`` streams (doc_id, feature); ties by
+    numeric doc id like every other blocker."""
     iv = np.asarray(index_emb["feature"].tolist(), dtype=np.float64)
-    sim = cv @ iv.T
-    kk = min(nn_param, sim.shape[1])
+    idx_ids = index_emb["doc_id"].to_numpy()
     idx_num = index_emb["doc_id"].astype(np.int64).to_numpy()
-    part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
-    rows = np.arange(len(cv))[:, None]
-    order = np.lexsort((idx_num[part], -sim[rows, part]), axis=1)
-    top = np.take_along_axis(part, order, axis=1)
-    return pd.DataFrame({
-        "cand_id": np.repeat(cand_emb["doc_id"].to_numpy(), kk),
-        "index_id": index_emb["doc_id"].to_numpy()[top].ravel(),
-        "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(cv)),
-        "score": sim[rows, np.take_along_axis(part, order, axis=1)].ravel(),
-    })
+    ref = ray.put((iv, idx_ids, idx_num))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        iv_, ids_, num_ = ray.get(ref)
+        cv = np.asarray(batch.column("feature").to_pylist(), dtype=np.float64)
+        sim = cv @ iv_.T
+        kk = min(nn_param, sim.shape[1])
+        part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+        rows = np.arange(len(cv))[:, None]
+        order = np.lexsort((num_[part], -sim[rows, part]), axis=1)
+        top = np.take_along_axis(part, order, axis=1)
+        n = len(cv)
+        return pa.table({
+            "cand_id": pa.array(
+                np.repeat(np.asarray(batch.column("doc_id").to_pylist(),
+                                     dtype=object), kk).tolist(),
+                type=pa.string()),
+            "index_id": pa.array(ids_[top].ravel().tolist(), type=pa.string()),
+            "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int32), n)),
+            "score": pa.array(sim[rows, top].ravel(), type=pa.float64()),
+        })
+
+    return cand_emb.repartition(concurrency * 4).map_batches(
+        topk, batch_format="pyarrow", batch_size=1024)
 
 
 BLOCKER_REGISTRY = {

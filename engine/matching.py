@@ -332,6 +332,14 @@ MODEL_REGISTRY = {
     "LogisticRegression": LogisticRegression,
 }
 
+# hyperparameter grids per family — the reference's config.Models.params_dict
+# (config.py:79-128) scaled to deterministic numpy models
+DEFAULT_GRIDS = {
+    "RandomForest": {"n_estimators": [20, 40], "max_depth": [8, 12]},
+    "GradientBoosting": {"n_estimators": [40, 80], "learning_rate": [0.1, 0.2]},
+    "LogisticRegression": {"l2": [1e-3, 1e-1]},
+}
+
 
 def f1_binary(y_true, y_pred):
     tp = int(((y_true == 1) & (y_pred == 1)).sum())

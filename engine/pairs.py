@@ -77,6 +77,49 @@ def pair_features_dataset(pairs: ray.data.Dataset,
                              batch_size=16384, concurrency=(1, concurrency))
 
 
+def pair_features_join(pairs: ray.data.Dataset, props: ray.data.Dataset,
+                       num_buckets: int = 32) -> ray.data.Dataset:
+    """Dataset-native pair feature stage — the 10^12-scale path.
+
+    pairs ⋈ props(cands side) on cand_id, ⋈ props(index side) on index_id,
+    via two explicit bucketed hash joins (SURVEY §7.3), then the vectorized
+    ratio kernel.  No property table ever lands on the driver; the broadcast
+    variant ``pair_features_dataset`` remains the small-side fast case.
+    """
+    import pyarrow.compute as pc
+
+    from engine.joins import bucketed_hash_join
+
+    def side(source: str, suffix: str) -> ray.data.Dataset:
+        def pick(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b.column("source"), pa.scalar(source)))
+            cols = {"doc_id": b.column("doc_id")}
+            for p in PROPERTY_NAMES:
+                cols[p + suffix] = b.column(p)
+            return pa.table(cols)
+        return props.map_batches(pick, batch_format="pyarrow")
+
+    j = bucketed_hash_join(pairs, side("cands", "__c"),
+                           "cand_id", "doc_id", num_buckets).drop_columns(["doc_id"])
+    j = bucketed_hash_join(j, side("index", "__i"),
+                           "index_id", "doc_id", num_buckets).drop_columns(["doc_id"])
+    tmp_cols = [p + s for p in PROPERTY_NAMES for s in ("__c", "__i")]
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        c = np.column_stack([batch.column(p + "__c").to_numpy()
+                             for p in PROPERTY_NAMES])
+        i = np.column_stack([batch.column(p + "__i").to_numpy()
+                             for p in PROPERTY_NAMES])
+        feats = ratio_features(c, i)
+        batch = batch.drop_columns(tmp_cols)
+        for k, name in enumerate(RATIO_FEATURE_NAMES):
+            batch = batch.append_column(
+                name, pa.array(feats[:, k], type=pa.float64()))
+        return batch
+
+    return j.map_batches(ratio, batch_format="pyarrow")
+
+
 def concatenation_features_dataset(pairs: ray.data.Dataset,
                                    cand_props: pd.DataFrame,
                                    index_props: pd.DataFrame) -> ray.data.Dataset:

@@ -4,72 +4,113 @@
 Mirrors the reference lifecycle (SURVEY.md §3): PipelineManager's stages
 (/root/reference/pipelines.py:408-420, 589-626) as one composable Ray flow.
 
-Residency policy (sandbox-honest, scale-documented): the *document* stream and
-all per-row stages are ray.data Datasets end to end.  Property tables are
-additionally collected to the driver as pandas for the stateful orchestration
-steps — classifier fit (driver-side in the reference too, classifier.py:150),
-kNN index broadcast, and ratio-matrix broadcast.  At 10^12 rows those
-collect/broadcast steps are replaced by engine.joins.bucketed_hash_join and a
-sketch-based scaler (exercised separately); the stage graph is unchanged.
+Residency policy (scale-first): the document stream, the property table and
+every per-row stage are ray.data Datasets end to end.  Driver-side state is
+limited to (a) narrow id lists (doc_id/source) that drive the deterministic
+splits, (b) the broadcast small sides the physical plan calls for — the kNN
+index matrix (the reference's KDTree index, blocking.py:106-118) — and (c)
+the collected TRAIN matrix, which is small by construction and fit on the
+driver exactly as the reference does (classifier.py:150-163).  Pair features
+run through bucketed hash joins (pairs.pair_features_join); scaler stats
+through the distributed exact-quantile aggregate (blocking.robust_scale_stats_ds).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data
 
 from engine import blocking as blk
 from engine import matching, metrics, pairs, splits
 from engine.corpus import corpus_dataset
 from engine.geometry import PROPERTY_NAMES
+from engine.joins import broadcast_semi_join
 from engine.pairs import RATIO_FEATURE_NAMES, ratio_features
 from engine.properties import _props_batch, properties_dataset
 
 
-def build_property_tables(sf_dir: str, n_cands: int | None = None,
-                          concurrency: int | None = None):
-    """docs -> properties Dataset (materialized) + driver-side frames."""
+def property_table(sf_dir: str, n_cands: int | None = None,
+                   log_transform: bool = False) -> ray.data.Dataset:
+    """docs -> materialized property Dataset (stays distributed; nothing is
+    collected here)."""
     docs = corpus_dataset(sf_dir, n_cands)
-    props = properties_dataset(docs).materialize()
-    pdf = props.to_pandas()
-    cand_df = pdf[pdf.source == "cands"].reset_index(drop=True)
-    index_df = pdf[pdf.source == "index"].reset_index(drop=True)
-    return props, cand_df, index_df
+    return properties_dataset(docs, log_transform=log_transform).materialize()
 
 
-def prep_train(cand_df: pd.DataFrame, index_df: pd.DataFrame, seed: int = 1,
-               neg_num: int = 2, model_name: str = "RandomForest"):
+def side_dataset(props: ray.data.Dataset, source: str,
+                 cols: list[str] | None = None) -> ray.data.Dataset:
+    """One side ('cands'|'index') of the two-source property table."""
+    import pyarrow.compute as pc
+
+    def pick(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("source"), pa.scalar(source)))
+        return b.select(cols) if cols else b
+
+    return props.map_batches(pick, batch_format="pyarrow")
+
+
+def side_frame(props: ray.data.Dataset, source: str,
+               cols: list[str]) -> pd.DataFrame:
+    """Broadcast-side collect: a NARROW column set for the side the physical
+    plan broadcasts (the kNN index matrix — the reference's in-memory KDTree
+    side).  The streaming side is never collected."""
+    return side_dataset(props, source, cols).to_pandas()
+
+
+def side_ids(props: ray.data.Dataset) -> tuple[list[str], list[str]]:
+    """Narrow (doc_id, source) collect — drives the deterministic splits and
+    recall denominators; no property columns leave the cluster."""
+    pdf = props.select_columns(["doc_id", "source"]).to_pandas()
+    return (pdf[pdf.source == "cands"].doc_id.tolist(),
+            pdf[pdf.source == "index"].doc_id.tolist())
+
+
+def prep_train(props: ray.data.Dataset, seed: int = 1,
+               neg_num: int = 2, model_name: str = "RandomForest",
+               grid: bool = False):
     """Preparatory phase (pipelines.py:601-616): negative-sampled train pairs
-    -> ratio features -> fit model -> feature importances + property ratios.
+    -> ratio features (bucketed joins) -> fit model -> feature importances +
+    property ratios.
 
     Training matrix is canonically sorted by (cand_id, index_id) so the fit is
-    independent of any upstream parallelism (SURVEY.md §7.4.6).
+    independent of any upstream parallelism (SURVEY.md §7.4.6).  ``grid``
+    enables the deterministic grid-search CV (classifier.py:150-163).
     """
-    inter = sorted(set(cand_df.doc_id) & set(index_df.doc_id), key=int)
+    cand_ids, index_ids = side_ids(props)
+    inter = sorted(set(cand_ids) & set(index_ids), key=int)
     train_ids, test_ids = splits.train_test_ids(inter, seed)
     pair_ds = splits.negative_sample_pairs(
-        sorted(train_ids, key=int), index_df.doc_id.tolist(), neg_num, seed)
-    feat_ds = pairs.pair_features_dataset(pair_ds, cand_df, index_df)
+        sorted(train_ids, key=int), index_ids, neg_num, seed)
+    feat_ds = pairs.pair_features_join(pair_ds, props)
     train_df = feat_ds.to_pandas().sort_values(
         ["cand_id", "index_id"]).reset_index(drop=True)
     X = train_df[RATIO_FEATURE_NAMES].to_numpy(dtype=np.float64)
     y = train_df["label"].to_numpy(dtype=np.int8)
-    model = matching.MODEL_REGISTRY[model_name](random_state=seed).fit(X, y)
+    if grid:
+        model, _, _ = matching.grid_search_fit(
+            model_name, matching.DEFAULT_GRIDS[model_name], X, y, seed=seed)
+    else:
+        model = matching.MODEL_REGISTRY[model_name](random_state=seed).fit(X, y)
     importances = sorted(zip(RATIO_FEATURE_NAMES, model.feature_importances_),
                          key=lambda kv: kv[1], reverse=True)
-    matched_c = cand_df[cand_df.doc_id.isin(train_ids)]
-    matched_i = index_df[index_df.doc_id.isin(train_ids)]
-    ratios = metrics.property_ratio_stats(matched_c, matched_i, PROPERTY_NAMES)
+    # train-matched property rows: a small semi-join collect (train ids only)
+    tr = broadcast_semi_join(props, "doc_id", train_ids).to_pandas()
+    ratios = metrics.property_ratio_stats(
+        tr[tr.source == "cands"], tr[tr.source == "index"], PROPERTY_NAMES)
     return {
         "model": model, "importances": importances, "ratios": ratios,
         "train_ids": train_ids, "test_ids": test_ids, "train_df": train_df,
+        "cand_ids": cand_ids, "index_ids": index_ids,
     }
 
 
 def run_flagship(sf_dir: str, n_cands: int | None = None, seed: int = 1,
                  bkafi_dim: int = 6, k: int = 10, neg_num: int = 2,
-                 concurrency: int = 4, train_mode: str = "blocking-based"):
+                 concurrency: int = 4, train_mode: str = "blocking-based",
+                 log_transform: bool = False,
+                 model_name: str = "RandomForest", grid: bool = False):
     """Full blocking->matching pipeline; returns dict of results/datasets.
 
     ``train_mode``: 'blocking-based' trains the matcher on pairs produced by
@@ -77,60 +118,59 @@ def run_flagship(sf_dir: str, n_cands: int | None = None, seed: int = 1,
     reference's matching_cands_generation='blocking-based',
     pipelines.py:426-432 / data_partition.py:401-415); 'negative_sampling'
     uses the random negatives from the preparatory phase only.
+    ``log_transform`` runs the property stage under log1p normalization (the
+    reference default, config.py:52).
     """
-    props, cand_df, index_df = build_property_tables(sf_dir, n_cands)
-    prep = prep_train(cand_df, index_df, seed=seed, neg_num=neg_num)
+    props = property_table(sf_dir, n_cands, log_transform=log_transform)
+    prep = prep_train(props, seed=seed, neg_num=neg_num,
+                      model_name=model_name, grid=grid)
 
     features = blk.select_blocking_features(
         prep["importances"], prep["ratios"], bkafi_dim)
+    index_feat_df = side_frame(props, "index", ["doc_id", *features])
+    cands_all = side_dataset(props, "cands", ["doc_id", *PROPERTY_NAMES])
 
     matcher = prep["model"]
     if train_mode == "blocking-based":
-        train_cand_df = cand_df[cand_df.doc_id.isin(prep["train_ids"])]
-        train_cands = ray.data.from_pandas(
-            train_cand_df[["doc_id", *PROPERTY_NAMES]].reset_index(drop=True))
+        train_cands = broadcast_semi_join(cands_all, "doc_id", prep["train_ids"])
         tnn, _ = blk.bkafi_nn_dataset(
-            train_cands, index_df, features, bkafi_dim, concurrency=concurrency)
-        tfeat = pairs.pair_features_dataset(
-            blk.pairs_from_nn(tnn, k), cand_df, index_df,
+            train_cands, index_feat_df, features, bkafi_dim,
             concurrency=concurrency)
+        tfeat = pairs.pair_features_join(blk.pairs_from_nn(tnn, k), props)
         tdf = tfeat.to_pandas().sort_values(
             ["cand_id", "index_id"]).reset_index(drop=True)
         Xb = tdf[RATIO_FEATURE_NAMES].to_numpy(dtype=np.float64)
         yb = tdf["label"].to_numpy(dtype=np.int8)
-        matcher = matching.RandomForest(random_state=seed).fit(Xb, yb)
+        matcher = matching.MODEL_REGISTRY[model_name](random_state=seed).fit(Xb, yb)
 
     # test split (blocking evaluation runs on held-out cands, all index)
-    test_cand_df = cand_df[cand_df.doc_id.isin(prep["test_ids"])]
-    test_cands = ray.data.from_pandas(
-        test_cand_df[["doc_id", *PROPERTY_NAMES]].reset_index(drop=True))
-
+    test_cands = broadcast_semi_join(cands_all, "doc_id", prep["test_ids"])
     nn, exec_s = blk.bkafi_nn_dataset(
-        test_cands, index_df, features, bkafi_dim, concurrency=concurrency)
+        test_cands, index_feat_df, features, bkafi_dim, concurrency=concurrency)
     nn = nn.materialize()
 
     pair_ds = blk.pairs_from_nn(nn, k)
-    feat_ds = pairs.pair_features_dataset(pair_ds, cand_df, index_df,
-                                          concurrency=concurrency)
+    feat_ds = pairs.pair_features_join(pair_ds, props)
     scored = matching.predict_dataset(
         feat_ds, matcher, RATIO_FEATURE_NAMES, concurrency=concurrency)
     scored = scored.materialize()
 
-    n_inter = len(set(test_cand_df.doc_id) & set(index_df.doc_id))
+    n_inter = len(set(prep["test_ids"]) & set(prep["index_ids"]))
     recall = metrics.blocking_recall(nn, n_inter, ks=[1, 5, 10, 20])
     prf = metrics.precision_recall_f1(scored)
     return {
-        "props": props, "cand_df": cand_df, "index_df": index_df,
-        "prep": prep, "nn": nn, "scored": scored,
+        "props": props, "prep": prep, "nn": nn, "scored": scored,
         "blocking_recall": recall, "matching": prf,
         "blocking_exec_s": exec_s,
-        "n_test_cands": len(test_cand_df), "n_index": len(index_df),
+        "n_test_cands": len(prep["test_ids"]),
+        "n_index": len(prep["index_ids"]),
     }
 
 
 def prepare_state(sf_dir: str, n_cands: int | None = None, seed: int = 1,
                   bkafi_dim: int = 6, k: int = 5, neg_num: int = 2,
-                  concurrency: int = 8, cache: bool = False) -> dict:
+                  concurrency: int = 8, cache: bool = False,
+                  log_transform: bool = False) -> dict:
     """Train/prepare everything the apply-path needs (model, blocking
     features, scaler stats, scaled index matrix, index property matrix).
 
@@ -144,45 +184,48 @@ def prepare_state(sf_dir: str, n_cands: int | None = None, seed: int = 1,
     import pickle
     cache_path = None
     if cache:
-        tag = f"{os.path.basename(os.path.normpath(sf_dir))}_n{n_cands}_s{seed}_d{bkafi_dim}_k{k}_g{neg_num}"
+        tag = (f"{os.path.basename(os.path.normpath(sf_dir))}_n{n_cands}"
+               f"_s{seed}_d{bkafi_dim}_k{k}_g{neg_num}_l{int(log_transform)}")
         cache_path = f"/tmp/ray_geo_state/{tag}.pkl"
         if os.path.exists(cache_path):
             with open(cache_path, "rb") as f:
                 return pickle.load(f)
-    props, cand_df, index_df = build_property_tables(sf_dir, n_cands)
-    prep = prep_train(cand_df, index_df, seed=seed, neg_num=neg_num)
+    props = property_table(sf_dir, n_cands, log_transform=log_transform)
+    prep = prep_train(props, seed=seed, neg_num=neg_num)
     features = blk.select_blocking_features(
         prep["importances"], prep["ratios"], bkafi_dim)
+    index_feat_df = side_frame(props, "index", ["doc_id", *features])
+    cands_all = side_dataset(props, "cands", ["doc_id", *PROPERTY_NAMES])
 
-    train_cand_df = cand_df[cand_df.doc_id.isin(prep["train_ids"])]
-    train_cands = ray.data.from_pandas(
-        train_cand_df[["doc_id", *PROPERTY_NAMES]].reset_index(drop=True))
+    train_cands = broadcast_semi_join(cands_all, "doc_id", prep["train_ids"])
     tnn, _ = blk.bkafi_nn_dataset(
-        train_cands, index_df, features, bkafi_dim, concurrency=concurrency)
-    tfeat = pairs.pair_features_dataset(
-        blk.pairs_from_nn(tnn, k), cand_df, index_df, concurrency=concurrency)
+        train_cands, index_feat_df, features, bkafi_dim, concurrency=concurrency)
+    tfeat = pairs.pair_features_join(blk.pairs_from_nn(tnn, k), props)
     tdf = tfeat.to_pandas().sort_values(
         ["cand_id", "index_id"]).reset_index(drop=True)
     matcher = matching.RandomForest(random_state=seed).fit(
         tdf[RATIO_FEATURE_NAMES].to_numpy(dtype=np.float64),
         tdf["label"].to_numpy(dtype=np.int8))
 
-    med, iqr = blk.robust_scale_stats(cand_df, features)
+    # scaler stats fit on ALL cands, distributed exact quantiles
+    med, iqr = blk.robust_scale_stats_ds(cands_all, features)
     feat_idx = [PROPERTY_NAMES.index(f) for f in features]
+    # the index side is the broadcast small side of this physical plan (the
+    # reference's in-memory KDTree/property dict); at 10^12 index rows the
+    # cell-shuffle blocker replaces the broadcast (blocking.cell_blocking)
+    index_df = side_frame(props, "index", ["doc_id", *PROPERTY_NAMES])
     idx_props = index_df[PROPERTY_NAMES].to_numpy(dtype=np.float64)
     idx_scaled = np.ascontiguousarray(
         (idx_props[:, feat_idx] - med) / iqr, dtype=np.float32)
     state = {
         "features": features, "feat_idx": feat_idx, "med": med, "iqr": iqr,
-        "matcher": matcher, "k": k,
+        "matcher": matcher, "k": k, "log_transform": log_transform,
         "idx_ids": index_df["doc_id"].to_numpy(),
         "idx_num": index_df["doc_id"].astype(np.int64).to_numpy(),
         "idx_scaled": idx_scaled, "idx_props": idx_props,
         "n_index": len(index_df),
     }
     if cache_path:
-        import os
-        import pickle
         os.makedirs(os.path.dirname(cache_path), exist_ok=True)
         tmp = cache_path + ".tmp"
         with open(tmp, "wb") as f:
@@ -209,6 +252,7 @@ def matching_inference_pipeline(docs: ray.data.Dataset, state: dict,
 
     state_ref = ray.put(state)
     worker_cache: dict = {}
+    log_transform = bool(state.get("log_transform", False))
 
     TILE, CHUNK = 64, 4096  # L2-resident distance tiles (see blocking.py)
 
@@ -220,7 +264,7 @@ def matching_inference_pipeline(docs: ray.data.Dataset, state: dict,
             worker_cache["idx_sq"] = (s["idx_scaled"] * s["idx_scaled"]).sum(1)
         s = worker_cache["s"]
         idx_sq = worker_cache["idx_sq"]
-        out = _props_batch(batch, False)
+        out = _props_batch(batch, log_transform)
         out = out.filter(pc.equal(out.column("source"), pa.scalar("cands")))
         if out.num_rows == 0:
             return pa.table({
@@ -284,22 +328,33 @@ def matching_inference_pipeline(docs: ray.data.Dataset, state: dict,
 
 def seed_averaged_eval(sf_dir: str, seeds=(1, 2, 3), n_cands: int | None = None,
                        bkafi_dim: int = 6, k: int = 5,
-                       concurrency: int = 4) -> pd.DataFrame:
+                       concurrency: int = 4,
+                       normalizations=(False, True)) -> pd.DataFrame:
     """Multi-seed evaluation averaged like the reference (main.py:32-36,
-    utils.py:280-346): per seed, blocking recall at each k and matching
-    P/R/F1; mean across seeds."""
+    utils.py:280-346): per seed and normalization mode (raw vs the reference
+    default log_transform, config.py:52), blocking recall at each k and
+    matching P/R/F1; mean across seeds per mode (seed == -1 rows)."""
     rows = []
-    for seed in seeds:
-        res = run_flagship(sf_dir, n_cands=n_cands, seed=seed,
-                           bkafi_dim=bkafi_dim, k=k, concurrency=concurrency)
-        rec = res["blocking_recall"]
-        m = res["matching"]
-        row = {"seed": seed, "precision": m["precision"],
-               "recall": m["recall"], "f1": m["f1"]}
-        for _, r in rec.iterrows():
-            row[f"blocking_recall_at_{int(r.k)}"] = r.blocking_recall
-        rows.append(row)
+    for log_transform in normalizations:
+        norm = "log_transform" if log_transform else "raw"
+        for seed in seeds:
+            res = run_flagship(sf_dir, n_cands=n_cands, seed=seed,
+                               bkafi_dim=bkafi_dim, k=k,
+                               concurrency=concurrency,
+                               log_transform=log_transform)
+            rec = res["blocking_recall"]
+            m = res["matching"]
+            row = {"normalization": norm, "seed": seed,
+                   "precision": m["precision"],
+                   "recall": m["recall"], "f1": m["f1"]}
+            for _, r in rec.iterrows():
+                row[f"blocking_recall_at_{int(r.k)}"] = r.blocking_recall
+            rows.append(row)
     df = pd.DataFrame(rows)
-    mean = df.drop(columns=["seed"]).mean().to_dict()
-    mean["seed"] = -1  # -1 = average row
-    return pd.concat([df, pd.DataFrame([mean])], ignore_index=True)
+    means = []
+    for norm, g in df.groupby("normalization"):
+        mean = g.drop(columns=["seed", "normalization"]).mean().to_dict()
+        mean["seed"] = -1  # -1 = average row
+        mean["normalization"] = norm
+        means.append(mean)
+    return pd.concat([df, pd.DataFrame(means)], ignore_index=True)

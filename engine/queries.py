@@ -145,16 +145,25 @@ def geo_pip(sf_dir: str):
     return spatial.pip_join(points, polys, res=11)
 
 
+def _flat_side(props: ray.data.Dataset, source: str,
+               cols: list[str]) -> ray.data.Dataset:
+    """Flat-roof (key % 5 == 0) rows of one side, narrow columns."""
+    def pick(b: pa.Table) -> pa.Table:
+        ids = np.asarray([int(d) for d in b.column("doc_id").to_pylist()])
+        mask = (np.asarray(b.column("source").to_pylist()) == source) \
+            & (ids % 5 == 0)
+        return b.filter(pa.array(mask)).select(cols)
+
+    return props.map_batches(pick, batch_format="pyarrow")
+
+
 def geo_knn_spatial(sf_dir: str):
     """Spatial kNN join (ring expansion): flat cands -> 5 nearest flat index
-    docs by world centroid."""
+    docs by world centroid.  Cands stream; the index side is the narrow
+    broadcast side of the ring-expansion join."""
     props = _props(sf_dir)
-    pdf = props.to_pandas()
-    ids = pdf.doc_id.astype(np.int64)
-    flat = pdf[(ids % 5 == 0).to_numpy()]
-    cand_df = flat[flat.source == "cands"][["doc_id", "cx", "cy"]]
-    index_df = flat[flat.source == "index"][["doc_id", "cx", "cy"]].reset_index(drop=True)
-    cands = ray.data.from_pandas(cand_df.reset_index(drop=True))
+    cands = _flat_side(props, "cands", ["doc_id", "cx", "cy"])
+    index_df = _flat_side(props, "index", ["doc_id", "cx", "cy"]).to_pandas()
     return spatial.knn_join(cands, index_df, k=5, res=8)
 
 
@@ -164,14 +173,13 @@ _FIXED_BLOCK_FEATURES = ["volume", "area", "height_diff", "bounding_box_width",
 
 def geo_block_bkafi(sf_dir: str):
     """Feature-space kNN blocking table (fixed 6-dim key set, scaler fit on
-    cands): (bkafi_dim, cand_id, index_id, rank, dist).  Rows-only."""
+    cands): (bkafi_dim, cand_id, index_id, rank, dist).  Cands stream; the
+    index feature matrix is the broadcast small side.  Rows-only."""
     from engine import blocking as blk
+    from engine.pipeline import side_dataset, side_frame
     props = _props(sf_dir)
-    pdf = props.to_pandas()
-    cand_df = pdf[pdf.source == "cands"]
-    index_df = pdf[pdf.source == "index"].reset_index(drop=True)
-    cands = ray.data.from_pandas(
-        cand_df[["doc_id", *_FIXED_BLOCK_FEATURES]].reset_index(drop=True))
+    cands = side_dataset(props, "cands", ["doc_id", *_FIXED_BLOCK_FEATURES])
+    index_df = side_frame(props, "index", ["doc_id", *_FIXED_BLOCK_FEATURES])
     nn, _ = blk.bkafi_nn_dataset(cands, index_df, _FIXED_BLOCK_FEATURES,
                                  bkafi_dim=6)
     return nn
@@ -191,18 +199,21 @@ def geo_blocking_recall_grid(sf_dir: str):
     bkafi_dim_list x cand_pairs_per_item_list).  Rows-only."""
     import pandas as pd
     from engine import blocking as blk, metrics
-    from engine.pipeline import build_property_tables, prep_train
     from engine.geometry import PROPERTY_NAMES
-    props, cand_df, index_df = build_property_tables(sf_dir)
-    prep = prep_train(cand_df, index_df, seed=1)
-    test_cand_df = cand_df[cand_df.doc_id.isin(prep["test_ids"])]
-    cands = ray.data.from_pandas(
-        test_cand_df[["doc_id", *PROPERTY_NAMES]].reset_index(drop=True))
-    n_inter = len(set(test_cand_df.doc_id) & set(index_df.doc_id))
+    from engine.joins import broadcast_semi_join
+    from engine.pipeline import (prep_train, property_table, side_dataset,
+                                 side_frame)
+    props = property_table(sf_dir)
+    prep = prep_train(props, seed=1)
+    cands = broadcast_semi_join(
+        side_dataset(props, "cands", ["doc_id", *PROPERTY_NAMES]),
+        "doc_id", prep["test_ids"]).materialize()
+    n_inter = len(set(prep["test_ids"]) & set(prep["index_ids"]))
     frames = []
     for dim in (2, 4, 6, 10):
         feats = blk.select_blocking_features(prep["importances"],
                                              prep["ratios"], dim)
+        index_df = side_frame(props, "index", ["doc_id", *feats])
         nn, _ = blk.bkafi_nn_dataset(cands, index_df, feats, dim,
                                      concurrency=4)
         frames.append(metrics.blocking_recall(
@@ -265,11 +276,13 @@ def q_events_asof(sf_dir: str):
 
 def geo_block_centroid(sf_dir: str):
     """Exhaustive centroid blocker (reference 'centroid' method,
-    blocking.py:62-76): top-21 nearest index centroids per cand.  Rows-only."""
+    blocking.py:62-76): top-21 nearest index centroids per cand.  Narrow
+    centroid columns only."""
     from engine.blocking import get_blocker
-    props = _props(sf_dir).to_pandas()
-    cand_df = props[props.source == "cands"].reset_index(drop=True)
-    index_df = props[props.source == "index"].reset_index(drop=True)
+    from engine.pipeline import side_frame
+    props = _props(sf_dir)
+    cand_df = side_frame(props, "cands", ["doc_id", "cx", "cy"])
+    index_df = side_frame(props, "index", ["doc_id", "cx", "cy"])
     return get_blocker("centroid")(cand_df, index_df)
 
 
@@ -279,27 +292,50 @@ def geo_threshold_sweep(sf_dir: str):
     matched-pair train distances, candidate count + recall + reduction ratio.
     Rows-only."""
     import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
     from engine import blocking as blk, metrics
-    props = _props(sf_dir).to_pandas()
-    cand_df = props[props.source == "cands"].reset_index(drop=True)
-    index_df = props[props.source == "index"].reset_index(drop=True)
-    cands = ray.data.from_pandas(cand_df[["doc_id", *_FIXED_BLOCK_FEATURES]])
+    from engine.pipeline import side_dataset, side_frame, side_ids
+    props = _props(sf_dir)
+    cands = side_dataset(props, "cands", ["doc_id", *_FIXED_BLOCK_FEATURES])
+    index_df = side_frame(props, "index", ["doc_id", *_FIXED_BLOCK_FEATURES])
     nn, _ = blk.bkafi_nn_dataset(cands, index_df, _FIXED_BLOCK_FEATURES, 6)
-    nn_df = nn.to_pandas()
-    match_d = nn_df[nn_df.cand_id == nn_df.index_id]["dist"].to_numpy()
-    table = metrics.percentile_threshold_table(match_d, num_points=20)
-    n_inter = len(set(cand_df.doc_id) & set(index_df.doc_id))
+    nn = nn.materialize()
+    # matched-pair distances: distributed filter, tiny collect
+    match_d = nn.map_batches(
+        lambda b: b.filter(pc.equal(b.column("cand_id"), b.column("index_id"))),
+        batch_format="pyarrow").select_columns(["dist"]).to_pandas()["dist"].to_numpy()
+    thr = metrics.percentile_threshold_table(match_d, num_points=20)
+    cand_ids, index_ids = side_ids(props)
+    n_inter = len(set(cand_ids) & set(index_ids))
+
+    def sweep_counts(b: pa.Table) -> pa.Table:
+        d = b.column("dist").to_numpy()
+        pos = pc.equal(b.column("cand_id"), b.column("index_id")) \
+            .to_numpy(zero_copy_only=False)
+        keep = d[None, :] <= thr[:, None]
+        return pa.table({
+            "ti": pa.array(np.arange(len(thr), dtype=np.int32)),
+            "kept": pa.array(keep.sum(1).astype(np.int64)),
+            # a true pair appears at most once per cand, so this count equals
+            # the distinct-cand recall numerator
+            "pos": pa.array((keep & pos[None, :]).sum(1).astype(np.int64)),
+        })
+
+    agg = nn.map_batches(sweep_counts, batch_format="pyarrow") \
+        .groupby("ti").aggregate(Sum("kept", alias_name="kept"),
+                                 Sum("pos", alias_name="pos")) \
+        .to_pandas().sort_values("ti")
     rows = []
-    for pct, thr in zip(np.linspace(0, 100, 20), table):
-        kept = nn_df[nn_df.dist <= thr]
-        pos = kept[kept.cand_id == kept.index_id]
+    for (_, a), pct in zip(agg.iterrows(), np.linspace(0, 100, 20)):
         rows.append({
             "percentile": float(pct),
-            "threshold": float(thr),
-            "cand_pairs": int(len(kept)),
-            "recall": round(pos.cand_id.nunique() / n_inter, 3),
+            "threshold": float(thr[int(a.ti)]),
+            "cand_pairs": int(a.kept),
+            "recall": round(int(a.pos) / n_inter, 3),
             "reduction_ratio": metrics.reduction_ratio(
-                len(kept), len(cand_df), len(index_df)),
+                int(a.kept), len(cand_ids), len(index_ids)),
         })
     return pd.DataFrame(rows)
 
@@ -317,12 +353,20 @@ def geo_block_embedding(sf_dir: str):
     """Embedding blocker over per-doc media-span features (the reference's
     ViT-B/32 baseline slot: encoder stage -> faiss IndexFlatIP top-k,
     blocking.py:176-191).  Rows-only."""
+    import pyarrow.compute as pc
     from engine.blocking import get_blocker
     from engine.multimodal import media_features
-    feats = media_features(corpus_dataset(sf_dir)).to_pandas()
-    cand = feats[feats.source == "cands"].reset_index(drop=True)
-    index = feats[feats.source == "index"].reset_index(drop=True)
-    return get_blocker("embedding")(cand, index, nn_param=5)
+    feats = media_features(corpus_dataset(sf_dir)).materialize()
+
+    def side(src):
+        return feats.map_batches(
+            lambda b, s=src: b.filter(pc.equal(b.column("source"),
+                                               pa.scalar(s))),
+            batch_format="pyarrow")
+
+    # cands stream; the index embedding matrix is the broadcast small side
+    index = side("index").select_columns(["doc_id", "feature"]).to_pandas()
+    return get_blocker("embedding")(side("cands"), index, nn_param=5)
 
 
 def geo_contamination(sf_dir: str):
@@ -339,12 +383,9 @@ def geo_contamination(sf_dir: str):
                                          concurrency=4)
     # rebuild features deterministically, contaminate, re-predict
     from engine import pairs as pairs_mod
-    props = _props(sf_dir).to_pandas()
-    cand_df = props[props.source == "cands"].reset_index(drop=True)
-    index_df = props[props.source == "index"].reset_index(drop=True)
-    feat = pairs_mod.pair_features_dataset(
+    feat = pairs_mod.pair_features_join(
         scored.select_columns(["cand_id", "index_id", "label", "pred"]),
-        cand_df, index_df)
+        _props(sf_dir))
     cont = contaminate(feat, fraction=0.2, seed=1)
     rescored = matching.predict_dataset(
         cont.drop_columns(["pred"]), state["matcher"], RATIO_FEATURE_NAMES)

@@ -80,14 +80,12 @@ def test_checkpoint_resume_byte_identical(ray_session, tmp_path):
 def test_threshold_filter_monotonic(ray_session):
     """bkafi_with_threshold semantics: shrinking threshold shrinks the nn
     table monotonically (M13/T12)."""
-    import ray.data
     from engine import blocking as blk
-    from engine.pipeline import build_property_tables
-    from engine.geometry import PROPERTY_NAMES
-    props, cand_df, index_df = build_property_tables(SF)
-    cands = ray.data.from_pandas(
-        cand_df[["doc_id", *PROPERTY_NAMES]].reset_index(drop=True))
+    from engine.pipeline import property_table, side_dataset, side_frame
+    props = property_table(SF)
     feats = ["volume", "area", "height_diff"]
+    cands = side_dataset(props, "cands", ["doc_id", *feats])
+    index_df = side_frame(props, "index", ["doc_id", *feats])
     nn, _ = blk.bkafi_nn_dataset(cands, index_df, feats, 3, concurrency=2)
     nn = nn.materialize()
     dists = nn.to_pandas()["dist"]

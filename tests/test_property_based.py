@@ -62,13 +62,12 @@ def test_pip_agrees_with_shoelace_containment_heuristic(ring, p):
 def test_ratio_features_laws(c, i):
     out = float(ratio_features(np.array([[c]]), np.array([[i]]))[0, 0])
     assert out <= 1000.0
-    if i == 0.0:
-        assert out == 0.0
-    else:
-        want = min(1000.0, float(np.round(c / i, 3)))
-        if not np.isfinite(want):
-            want = 0.0  # overflow ratios -> 0, like the reference's error branch
-        assert out == want
+    # reference semantics = Python min(1000, round(c/i, 3)) on float64
+    # scalars: inf -> 1000, nan -> 1000, -inf stays -inf
+    with np.errstate(divide="ignore", invalid="ignore"):
+        want = float(np.round(np.float64(c) / np.float64(i), 3))
+    want = 1000.0 if np.isnan(want) else min(1000.0, want)
+    assert out == want
 
 
 @settings(max_examples=20, deadline=None)
