@@ -121,7 +121,8 @@ def bkafi_nn_dataset(cand_props: ray.data.Dataset, index_df: pd.DataFrame,
                      sdr_factors: np.ndarray | None = None,
                      nn_param: int = NN_PARAM,
                      concurrency: int = 4,
-                     stats: tuple | None = None) -> tuple[ray.data.Dataset, float]:
+                     stats: tuple | None = None,
+                     exact: bool = False) -> tuple[ray.data.Dataset, float]:
     """kNN of every cand against the index in the selected feature space.
 
     ``cand_props`` streams; ``index_df`` (doc_id + selected columns, pandas)
@@ -132,6 +133,14 @@ def bkafi_nn_dataset(cand_props: ray.data.Dataset, index_df: pd.DataFrame,
     107-112 multiplies cand vectors by the factor BEFORE fit_transform, so
     the factor's net effect falls on the index transform while cand query
     points are unchanged).  ``stats``: optional precomputed (med, iqr).
+
+    ``exact``: f64 precision-parameterized variant of the same operator —
+    distances accumulate elementwise per feature in declared order
+    (sum((c_f - i_f)^2), left-associated) so every d2/dist is a
+    deterministic IEEE chain replicable 1:1 in SQL; chunk merges are
+    tie-correct via (d2, idx_num) lexsort.  This is the path the DuckDB
+    oracle checks bit-for-bit; the default f32-tile path is the
+    throughput configuration (same ranking semantics up to precision).
     Returns (nn dataset with bkafi_dim/cand_id/index_id/rank/dist, exec_seconds).
     """
     sdr = np.ones(len(features)) if sdr_factors is None else np.asarray(
@@ -156,6 +165,40 @@ def bkafi_nn_dataset(cand_props: ray.data.Dataset, index_df: pd.DataFrame,
             self.idx_mat, self.idx_ids, self.idx_num, self.med, self.iqr = ray.get(ref)
             self.idx32 = np.ascontiguousarray(self.idx_mat, dtype=np.float32)
             self.idx_sq = (self.idx32 * self.idx32).sum(1)
+
+        def _topk_exact_tile(self, Xt: np.ndarray):
+            """Exact-f64 top-k for one cand tile: per-feature elementwise
+            (c-i)^2 accumulation in declared feature order (left-assoc IEEE
+            chain — SQL-replicable), chunked over the index with a
+            tie-correct (d2, idx_num) lexsort merge."""
+            n = len(Xt)
+            n_idx = len(self.idx_mat)
+            best_d = best_i = None
+            rows = np.arange(n)[:, None]
+            for s in range(0, n_idx, CHUNK):
+                e = min(s + CHUNK, n_idx)
+                d2 = np.zeros((n, e - s))
+                for f in range(Xt.shape[1]):
+                    d = Xt[:, f][:, None] - self.idx_mat[None, s:e, f]
+                    d2 += d * d
+                kk = min(nn_param, e - s)
+                loc = np.lexsort((self.idx_num[s:e][None, :].repeat(n, 0), d2),
+                                 axis=1)[:, :kk]
+                dloc = d2[rows, loc]
+                iloc = loc.astype(np.int64) + s
+                if best_d is None:
+                    best_d, best_i = dloc, iloc
+                else:
+                    dall = np.concatenate([best_d, dloc], axis=1)
+                    iall = np.concatenate([best_i, iloc], axis=1)
+                    kk2 = min(nn_param, dall.shape[1])
+                    order = np.lexsort((self.idx_num[iall], dall),
+                                       axis=1)[:, :kk2]
+                    best_d = np.take_along_axis(dall, order, axis=1)
+                    best_i = np.take_along_axis(iall, order, axis=1)
+            order = np.lexsort((self.idx_num[best_i], best_d), axis=1)
+            top = np.take_along_axis(best_i, order, axis=1)
+            return top, np.sqrt(np.take_along_axis(best_d, order, axis=1))
 
         def _topk_tile(self, Xt: np.ndarray):
             """top nn_param for one cand tile: chunked scan, running merge."""
@@ -190,10 +233,13 @@ def bkafi_nn_dataset(cand_props: ray.data.Dataset, index_df: pd.DataFrame,
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column("doc_id").to_pylist()
             X = np.column_stack([batch.column(c).to_numpy() for c in features])
-            X = ((X * sdr - self.med) / self.iqr).astype(np.float32)
+            X = (X * sdr - self.med) / self.iqr
+            topk = self._topk_exact_tile if exact else self._topk_tile
+            if not exact:
+                X = X.astype(np.float32)
             tops, dists = [], []
             for s in range(0, len(X), TILE):
-                t, d = self._topk_tile(X[s:s + TILE])
+                t, d = topk(X[s:s + TILE])
                 tops.append(t)
                 dists.append(d)
             top = np.concatenate(tops, axis=0)
@@ -243,23 +289,39 @@ def centroid_nn_dataset(cand_df: pd.DataFrame, index_df: pd.DataFrame,
                         transform: bool = False) -> pd.DataFrame:
     """The 'centroid' / 'centroid_with_transform' exhaustive blockers
     (blocking.py:62-92): brute-force L2 over 2D world centroids, optional
-    Kabsch/SVD rigid alignment of the cand cloud onto the index cloud."""
+    Kabsch/SVD rigid alignment of the cand cloud onto the index cloud.
+
+    Distances are EXACT elementwise (cx-ix)^2 + (cy-iy)^2 in f64 — on the
+    dyadic-rational corpus every d2 is an exact dyadic value, so the output
+    (incl. dist2) is bit-checkable against the DuckDB window-SQL oracle.
+    Computed in cand tiles to bound the (tile, n_index) temporary."""
     cxy = cand_df[["cx", "cy"]].to_numpy(dtype=np.float64)
     ixy = index_df[["cx", "cy"]].to_numpy(dtype=np.float64)
     if transform:
         cxy = kabsch_transform(cxy, ixy)
-    d2 = (cxy * cxy).sum(1)[:, None] - 2.0 * (cxy @ ixy.T) + (ixy * ixy).sum(1)[None, :]
-    kk = min(nn_param, d2.shape[1])
     idx_num = index_df["doc_id"].astype(np.int64).to_numpy()
-    part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-    rows = np.arange(len(cxy))[:, None]
-    order = np.lexsort((idx_num[part], d2[rows, part]), axis=1)
-    top = part[rows, order]
+    idx_ids = index_df["doc_id"].to_numpy()
+    kk = min(nn_param, len(ixy))
+    TILE = 256
+    tops, d2s = [], []
+    for s in range(0, len(cxy), TILE):
+        ct = cxy[s:s + TILE]
+        dx = ct[:, 0][:, None] - ixy[None, :, 0]
+        dy = ct[:, 1][:, None] - ixy[None, :, 1]
+        d2 = dx * dx + dy * dy
+        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        rows = np.arange(len(ct))[:, None]
+        order = np.lexsort((idx_num[part], d2[rows, part]), axis=1)
+        top = part[rows, order]
+        tops.append(top)
+        d2s.append(d2[rows, top])
+    top = np.concatenate(tops, 0)
+    d2 = np.concatenate(d2s, 0)
     return pd.DataFrame({
         "cand_id": np.repeat(cand_df["doc_id"].to_numpy(), kk),
-        "index_id": index_df["doc_id"].to_numpy()[top].ravel(),
+        "index_id": idx_ids[top].ravel(),
         "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), len(cxy)),
-        "dist": np.sqrt(np.maximum(d2[rows, top], 0.0)).ravel(),
+        "dist2": d2.ravel(),
     })
 
 

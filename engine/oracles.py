@@ -147,6 +147,139 @@ SELECT cand_id, index_id, CAST(rnk AS INTEGER) AS rank, dist2
 FROM j WHERE rnk <= 5
 """
 
+# exhaustive centroid blocker over the flat-roof subset: top-21 by exact
+# dyadic squared centroid distance, ties by numeric index id
+GEO_BLOCK_CENTROID = _GEO_KNN_SIDES + """
+, j AS (
+  SELECT c.cand_id, i.index_id,
+         (c.cx - i.cx) * (c.cx - i.cx) + (c.cy - i.cy) * (c.cy - i.cy) AS dist2,
+         row_number() OVER (
+           PARTITION BY c.cand_id
+           ORDER BY (c.cx - i.cx) * (c.cx - i.cx) + (c.cy - i.cy) * (c.cy - i.cy),
+                    i.knum) AS rnk
+  FROM cands c CROSS JOIN idx i
+)
+SELECT cand_id, index_id, CAST(rnk AS INTEGER) AS rank, dist2
+FROM j WHERE rnk <= 21
+"""
+
+# BKAFI blocking, exact-f64 mode, flat subset: RobustScaler (median/IQR with
+# numpy's virtual-index + lerp percentile arithmetic, replicated verbatim) fit
+# on cands, both sides transformed, top-21 by sum((c_f-i_f)^2) accumulated in
+# feature order f1..f6 = volume, area, height_diff, bbox_width, bbox_length,
+# convex_hull_volume (all exact dyadic closed forms for flat boxes).
+GEO_BLOCK_BKAFI = """
+WITH hc AS (
+  SELECT doc_id AS k, (doc_id * 2654435761 + 12345) AS hv,
+         ((doc_id * 1000003 + 7) % 1000000007) * 1103515245 + 54321 AS h2
+  FROM documents WHERE doc_id % 5 = 0
+), cd AS (
+  SELECT k,
+    4 + (hv % 24) + ((hv // 24) % 8) / 8.0 AS w,
+    5 + ((hv // 192) % 30) + ((hv // 1536) % 8) / 8.0 AS l,
+    3 + ((hv // 12288) % 18) + ((hv // 98304) % 8) / 8.0 AS ht
+  FROM hc
+), cands AS (
+  SELECT CAST(k AS VARCHAR) AS id, k AS knum,
+         w*l*ht AS f1, 2*w*l + 2*w*ht + 2*l*ht AS f2, ht AS f3,
+         w AS f4, l AS f5, w*l*ht AS f6
+  FROM cd
+), md AS (
+  SELECT k,
+    (4 + (hv % 24) + ((hv // 24) % 8) / 8.0)
+      + (((h2 // 9801000000) % 3) - 1) / 8.0 AS w,
+    (5 + ((hv // 192) % 30) + ((hv // 1536) % 8) / 8.0)
+      + ((((h2 // 9801000000) // 3) % 3) - 1) / 8.0 AS l,
+    (3 + ((hv // 12288) % 18) + ((hv // 98304) % 8) / 8.0)
+      + ((((h2 // 9801000000) // 9) % 3) - 1) / 8.0 AS ht
+  FROM hc
+  WHERE (((h2 // 9801000000) // 27) % 100) < 85
+), he AS (
+  SELECT (doc_id + 10000000) AS k,
+         ((doc_id + 10000000) * 2654435761 + 12345) AS hv
+  FROM documents WHERE doc_id % 5 = 0
+), ed AS (
+  SELECT k,
+    4 + (hv % 24) + ((hv // 24) % 8) / 8.0 AS w,
+    5 + ((hv // 192) % 30) + ((hv // 1536) % 8) / 8.0 AS l,
+    3 + ((hv // 12288) % 18) + ((hv // 98304) % 8) / 8.0 AS ht
+  FROM he
+), idx AS (
+  SELECT CAST(k AS VARCHAR) AS id, k AS knum,
+         w*l*ht AS f1, 2*w*l + 2*w*ht + 2*l*ht AS f2, ht AS f3,
+         w AS f4, l AS f5, w*l*ht AS f6
+  FROM (SELECT * FROM md UNION ALL SELECT * FROM ed)
+), fv AS (
+  SELECT 1 AS fi, f1 AS v FROM cands UNION ALL
+  SELECT 2, f2 FROM cands UNION ALL
+  SELECT 3, f3 FROM cands UNION ALL
+  SELECT 4, f4 FROM cands UNION ALL
+  SELECT 5, f5 FROM cands UNION ALL
+  SELECT 6, f6 FROM cands
+), ov AS (
+  SELECT fi, v, row_number() OVER (PARTITION BY fi ORDER BY v) - 1 AS rn,
+         count(*) OVER (PARTITION BY fi) AS n
+  FROM fv
+), qv AS (
+  SELECT fi, q, (q / 100.0) * (n - 1) AS virt, n
+  FROM (SELECT DISTINCT fi, n FROM ov)
+  CROSS JOIN (SELECT unnest([25.0, 50.0, 75.0]) AS q)
+), ab AS (
+  SELECT qv.fi, qv.q, qv.virt - floor(qv.virt) AS t, oa.v AS a, ob.v AS b
+  FROM qv
+  JOIN ov oa ON oa.fi = qv.fi AND oa.rn = CAST(floor(qv.virt) AS BIGINT)
+  JOIN ov ob ON ob.fi = qv.fi
+            AND ob.rn = LEAST(CAST(floor(qv.virt) AS BIGINT) + 1, qv.n - 1)
+), pct AS (
+  SELECT fi, q,
+         CASE WHEN t >= 0.5 THEN b - (b - a) * (1 - t)
+              ELSE a + (b - a) * t END AS val
+  FROM ab
+), stat AS (
+  SELECT fi,
+         MAX(CASE WHEN q = 50 THEN val END) AS med,
+         MAX(CASE WHEN q = 75 THEN val END)
+           - MAX(CASE WHEN q = 25 THEN val END) AS iqr0
+  FROM pct GROUP BY fi
+), st2 AS (
+  SELECT fi, med, CASE WHEN iqr0 = 0 THEN 1.0 ELSE iqr0 END AS iqr FROM stat
+), sp AS (
+  SELECT
+    MAX(CASE WHEN fi=1 THEN med END) AS m1, MAX(CASE WHEN fi=1 THEN iqr END) AS s1,
+    MAX(CASE WHEN fi=2 THEN med END) AS m2, MAX(CASE WHEN fi=2 THEN iqr END) AS s2,
+    MAX(CASE WHEN fi=3 THEN med END) AS m3, MAX(CASE WHEN fi=3 THEN iqr END) AS s3,
+    MAX(CASE WHEN fi=4 THEN med END) AS m4, MAX(CASE WHEN fi=4 THEN iqr END) AS s4,
+    MAX(CASE WHEN fi=5 THEN med END) AS m5, MAX(CASE WHEN fi=5 THEN iqr END) AS s5,
+    MAX(CASE WHEN fi=6 THEN med END) AS m6, MAX(CASE WHEN fi=6 THEN iqr END) AS s6
+  FROM st2
+), cs AS (
+  SELECT id, knum,
+         (f1 - m1)/s1 AS g1, (f2 - m2)/s2 AS g2, (f3 - m3)/s3 AS g3,
+         (f4 - m4)/s4 AS g4, (f5 - m5)/s5 AS g5, (f6 - m6)/s6 AS g6
+  FROM cands CROSS JOIN sp
+), xs AS (
+  SELECT id, knum,
+         (f1 - m1)/s1 AS g1, (f2 - m2)/s2 AS g2, (f3 - m3)/s3 AS g3,
+         (f4 - m4)/s4 AS g4, (f5 - m5)/s5 AS g5, (f6 - m6)/s6 AS g6
+  FROM idx CROSS JOIN sp
+), j AS (
+  SELECT cs.id AS cand_id, xs.id AS index_id,
+    (cs.g1 - xs.g1) * (cs.g1 - xs.g1) + (cs.g2 - xs.g2) * (cs.g2 - xs.g2)
+      + (cs.g3 - xs.g3) * (cs.g3 - xs.g3) + (cs.g4 - xs.g4) * (cs.g4 - xs.g4)
+      + (cs.g5 - xs.g5) * (cs.g5 - xs.g5) + (cs.g6 - xs.g6) * (cs.g6 - xs.g6) AS d2,
+    row_number() OVER (
+      PARTITION BY cs.id
+      ORDER BY (cs.g1 - xs.g1) * (cs.g1 - xs.g1) + (cs.g2 - xs.g2) * (cs.g2 - xs.g2)
+        + (cs.g3 - xs.g3) * (cs.g3 - xs.g3) + (cs.g4 - xs.g4) * (cs.g4 - xs.g4)
+        + (cs.g5 - xs.g5) * (cs.g5 - xs.g5) + (cs.g6 - xs.g6) * (cs.g6 - xs.g6),
+        xs.knum) AS rnk
+  FROM cs CROSS JOIN xs
+)
+SELECT CAST(6 AS INTEGER) AS bkafi_dim, cand_id, index_id,
+       CAST(rnk AS INTEGER) AS rank, sqrt(d2) AS dist
+FROM j WHERE rnk <= 21
+"""
+
 REL_LINEITEM_AGG = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
        SUM(l_quantity) AS sum_qty,

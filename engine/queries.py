@@ -174,14 +174,17 @@ _FIXED_BLOCK_FEATURES = ["volume", "area", "height_diff", "bounding_box_width",
 def geo_block_bkafi(sf_dir: str):
     """Feature-space kNN blocking table (fixed 6-dim key set, scaler fit on
     cands): (bkafi_dim, cand_id, index_id, rank, dist).  Cands stream; the
-    index feature matrix is the broadcast small side.  Rows-only."""
+    index feature matrix is the broadcast small side.  Runs the operator's
+    exact-f64 precision mode over the flat-roof generative subset so the
+    RobustScaler fit + kNN ranking + distances are checked bit-for-bit by
+    the DuckDB window-SQL oracle (reference blocking.py:106-133)."""
     from engine import blocking as blk
-    from engine.pipeline import side_dataset, side_frame
     props = _props(sf_dir)
-    cands = side_dataset(props, "cands", ["doc_id", *_FIXED_BLOCK_FEATURES])
-    index_df = side_frame(props, "index", ["doc_id", *_FIXED_BLOCK_FEATURES])
+    cands = _flat_side(props, "cands", ["doc_id", *_FIXED_BLOCK_FEATURES])
+    index_df = _flat_side(
+        props, "index", ["doc_id", *_FIXED_BLOCK_FEATURES]).to_pandas()
     nn, _ = blk.bkafi_nn_dataset(cands, index_df, _FIXED_BLOCK_FEATURES,
-                                 bkafi_dim=6)
+                                 bkafi_dim=6, exact=True)
     return nn
 
 
@@ -276,13 +279,13 @@ def q_events_asof(sf_dir: str):
 
 def geo_block_centroid(sf_dir: str):
     """Exhaustive centroid blocker (reference 'centroid' method,
-    blocking.py:62-76): top-21 nearest index centroids per cand.  Narrow
-    centroid columns only."""
+    blocking.py:62-76): top-21 nearest index centroids per cand, exact
+    dyadic squared distances — over the flat-roof generative subset so the
+    full ranking is checked bit-for-bit by the DuckDB window-SQL oracle."""
     from engine.blocking import get_blocker
-    from engine.pipeline import side_frame
     props = _props(sf_dir)
-    cand_df = side_frame(props, "cands", ["doc_id", "cx", "cy"])
-    index_df = side_frame(props, "index", ["doc_id", "cx", "cy"])
+    cand_df = _flat_side(props, "cands", ["doc_id", "cx", "cy"]).to_pandas()
+    index_df = _flat_side(props, "index", ["doc_id", "cx", "cy"]).to_pandas()
     return get_blocker("centroid")(cand_df, index_df)
 
 
@@ -498,6 +501,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_tiles": o.GEO_TILES,
         "geo_pip": o.GEO_PIP,
         "geo_knn_spatial": o.GEO_KNN,
+        "geo_block_centroid": o.GEO_BLOCK_CENTROID,
+        "geo_block_bkafi": o.GEO_BLOCK_BKAFI,
         "q_lineitem_agg": o.REL_LINEITEM_AGG,
         "q_orders_by_nation": o.REL_ORDERS_BY_NATION,
         "q_top_orders": o.REL_TOP_ORDERS,
