@@ -282,6 +282,117 @@ class _RegressionTree:
         return val[cur]
 
 
+class Bagging(RandomForest):
+    """Bootstrap-aggregated deep trees considering ALL features at every
+    split — the reference's headline family (BaggingClassifier; Table 6's
+    P=100/F1=93 row, classifier.py:48 / config.py:75-76).  Differs from
+    RandomForest exactly as sklearn's does: no feature subsampling and
+    deeper default trees."""
+
+    def __init__(self, n_estimators=40, max_depth=14, min_samples_split=2,
+                 random_state=1):
+        super().__init__(n_estimators=n_estimators, max_depth=max_depth,
+                         min_samples_split=min_samples_split,
+                         max_features=None, random_state=random_state)
+
+    def get_params(self):
+        return dict(n_estimators=self.n_estimators, max_depth=self.max_depth,
+                    min_samples_split=self.min_samples_split,
+                    random_state=self.random_state)
+
+
+class _WeightedStump:
+    """Depth-1 weighted decision stump: best (feature, threshold, polarity)
+    by weighted 0-1 error; fully deterministic (ties -> lowest feature index,
+    then lowest threshold)."""
+
+    def fit(self, X, y, w):
+        # y in {-1, +1}; w normalized
+        best = None  # (err, fi, thr, polarity)
+        for fi in range(X.shape[1]):
+            x = X[:, fi]
+            order = np.argsort(x, kind="stable")
+            xs, ys, ws = x[order], y[order], w[order]
+            cut = np.nonzero(xs[1:] != xs[:-1])[0] + 1
+            if not len(cut):
+                continue
+            cpos = np.cumsum(ws * (ys > 0))
+            cneg = np.cumsum(ws * (ys < 0))
+            tot_pos, tot_neg = cpos[-1], cneg[-1]
+            # polarity +1: predict -1 left of thr, +1 right
+            err_plus = cpos[cut - 1] + (tot_neg - cneg[cut - 1])
+            err_minus = (tot_pos + tot_neg) - err_plus
+            for errs, pol in ((err_plus, 1), (err_minus, -1)):
+                b = int(np.argmin(errs))
+                if best is None or errs[b] < best[0] - 1e-15:
+                    thr = (xs[cut[b] - 1] + xs[cut[b]]) / 2.0
+                    best = (float(errs[b]), fi, thr, pol)
+        if best is None:  # constant features: majority vote
+            maj = 1 if float((w * (y > 0)).sum()) >= float((w * (y < 0)).sum()) else -1
+            self.err_, self.fi_, self.thr_, self.pol_ = 0.5, 0, -np.inf, maj
+        else:
+            self.err_, self.fi_, self.thr_, self.pol_ = best
+        return self
+
+    def predict(self, X):
+        side = np.where(X[:, self.fi_] <= self.thr_, -1, 1)
+        return side * self.pol_
+
+
+class AdaBoost:
+    """Deterministic AdaBoost (discrete SAMME over weighted stumps) — the
+    reference's AdaBoostClassifier slot (classifier.py:49 / config.py:75-76).
+    No RNG anywhere; ``feature_importances_`` are alpha-weight sums per
+    feature."""
+
+    def __init__(self, n_estimators=60, random_state=1):
+        self.n_estimators = n_estimators
+        self.random_state = random_state  # unused (deterministic); API compat
+
+    def get_params(self):
+        return dict(n_estimators=self.n_estimators,
+                    random_state=self.random_state)
+
+    def fit(self, X, y):
+        X = np.ascontiguousarray(X, dtype=np.float64)
+        yy = np.where(np.asarray(y) > 0, 1.0, -1.0)
+        n, f = X.shape
+        w = np.full(n, 1.0 / n)
+        self.stumps_, self.alphas_ = [], []
+        imp = np.zeros(f)
+        for _ in range(self.n_estimators):
+            stump = _WeightedStump().fit(X, yy, w)
+            pred = stump.predict(X)
+            err = float(w[pred != yy].sum())
+            if err >= 0.5:
+                break
+            err = max(err, 1e-10)
+            alpha = 0.5 * np.log((1.0 - err) / err)
+            self.stumps_.append(stump)
+            self.alphas_.append(alpha)
+            imp[stump.fi_] += alpha
+            w = w * np.exp(-alpha * yy * pred)
+            w /= w.sum()
+            if err <= 1e-10:
+                break
+        s = imp.sum()
+        self.feature_importances_ = imp / s if s > 0 else imp
+        return self
+
+    def _margin(self, X):
+        X = np.ascontiguousarray(X, dtype=np.float64)
+        m = np.zeros(len(X))
+        for stump, alpha in zip(self.stumps_, self.alphas_):
+            m += alpha * stump.predict(X)
+        return m
+
+    def predict_proba(self, X):
+        return 1.0 / (1.0 + np.exp(-2.0 * self._margin(X)))
+
+    def predict(self, X):
+        return (self._margin(X) > 0).astype(np.int8)
+
+
 class LogisticRegression:
     """Deterministic L2-regularized logistic regression (full-batch Newton
     steps — no RNG, identical at any parallelism).  Fills the reference's
@@ -329,6 +440,8 @@ class LogisticRegression:
 MODEL_REGISTRY = {
     "RandomForest": RandomForest,
     "GradientBoosting": GradientBoosting,
+    "Bagging": Bagging,
+    "AdaBoost": AdaBoost,
     "LogisticRegression": LogisticRegression,
 }
 
@@ -337,6 +450,8 @@ MODEL_REGISTRY = {
 DEFAULT_GRIDS = {
     "RandomForest": {"n_estimators": [20, 40], "max_depth": [8, 12]},
     "GradientBoosting": {"n_estimators": [40, 80], "learning_rate": [0.1, 0.2]},
+    "Bagging": {"n_estimators": [20, 40], "max_depth": [10, 14]},
+    "AdaBoost": {"n_estimators": [40, 80]},
     "LogisticRegression": {"l2": [1e-3, 1e-1]},
 }
 

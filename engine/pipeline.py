@@ -326,6 +326,32 @@ def matching_inference_pipeline(docs: ray.data.Dataset, state: dict,
     return docs.map_batches(fused, batch_format="pyarrow")
 
 
+def train_test_features(sf_dir: str, seed: int = 1, bkafi_dim: int = 6,
+                        k: int = 5, neg_num: int = 2, concurrency: int = 4,
+                        log_transform: bool = False):
+    """Blocking-based train + test pair-feature matrices — the matching
+    evaluation inputs (reference pipelines.py:426-432, 516-523: train pairs
+    from a blocker pass over train cands, test pairs over test cands).
+    Returns (train_df, test_df, prep) with canonical (cand_id, index_id)
+    ordering."""
+    props = property_table(sf_dir, log_transform=log_transform)
+    prep = prep_train(props, seed=seed, neg_num=neg_num)
+    features = blk.select_blocking_features(
+        prep["importances"], prep["ratios"], bkafi_dim)
+    index_feat_df = side_frame(props, "index", ["doc_id", *features])
+    cands_all = side_dataset(props, "cands", ["doc_id", *PROPERTY_NAMES])
+
+    def feats_for(ids):
+        cands = broadcast_semi_join(cands_all, "doc_id", ids)
+        nn, _ = blk.bkafi_nn_dataset(cands, index_feat_df, features,
+                                     bkafi_dim, concurrency=concurrency)
+        fd = pairs.pair_features_join(blk.pairs_from_nn(nn, k), props)
+        return fd.to_pandas().sort_values(
+            ["cand_id", "index_id"]).reset_index(drop=True)
+
+    return feats_for(prep["train_ids"]), feats_for(prep["test_ids"]), prep
+
+
 def seed_averaged_eval(sf_dir: str, seeds=(1, 2, 3), n_cands: int | None = None,
                        bkafi_dim: int = 6, k: int = 5,
                        concurrency: int = 4,

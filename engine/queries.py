@@ -396,6 +396,89 @@ def geo_contamination(sf_dir: str):
         ["cand_id", "index_id", "label", "pred", "contaminated"])
 
 
+_TTF_CACHE: dict[str, tuple] = {}
+
+
+def _ttf(sf_dir: str):
+    if sf_dir not in _TTF_CACHE:
+        from engine.pipeline import train_test_features
+        _TTF_CACHE[sf_dir] = train_test_features(sf_dir, seed=1)
+    return _TTF_CACHE[sf_dir]
+
+
+def matching_models_eval(sf_dir: str):
+    """Per-model-family matching evaluation — the reference's Table 6 loop
+    (classifier.py:106-176 over config.py:75-76's model_list): for each of
+    the 5 families, deterministic grid-search CV fit on the blocking-based
+    train matrix, then P/R/F1 + train/inference seconds on the held-out test
+    matrix.  Rows-only (timings are environment-dependent)."""
+    import time
+
+    import pandas as pd
+
+    from engine.matching import (DEFAULT_GRIDS, MODEL_REGISTRY, f1_binary,
+                                 grid_search_fit)
+    from engine.pairs import RATIO_FEATURE_NAMES
+    tr, te, _ = _ttf(sf_dir)
+    Xtr = tr[RATIO_FEATURE_NAMES].to_numpy(dtype=np.float64)
+    ytr = tr["label"].to_numpy(dtype=np.int8)
+    Xte = te[RATIO_FEATURE_NAMES].to_numpy(dtype=np.float64)
+    yte = te["label"].to_numpy(dtype=np.int8)
+    rows = []
+    for name in MODEL_REGISTRY:
+        t0 = time.time()
+        model, best, cv_f1 = grid_search_fit(
+            name, DEFAULT_GRIDS[name], Xtr, ytr, seed=1)
+        train_sec = time.time() - t0
+        t0 = time.time()
+        pred = model.predict(Xte)
+        inference_sec = time.time() - t0
+        f1, p, r = f1_binary(yte, pred)
+        rows.append({
+            "model": name, "precision": round(p, 4), "recall": round(r, 4),
+            "f1": round(f1, 4), "cv_f1": round(cv_f1, 4),
+            "train_sec": round(train_sec, 3),
+            "inference_sec": round(inference_sec, 4),
+            "best_params": str(best),
+        })
+    return pd.DataFrame(rows)
+
+
+def contamination_retrain(sf_dir: str):
+    """Contamination retraining experiment (reference
+    contamination_experiments.py:137-161): contaminate a sweep of TRAIN
+    feature fractions, retrain the matcher on each, evaluate every model on
+    the same CLEAN test matrix; reports the clean-vs-contaminated F1
+    degradation.  Rows-only."""
+    import pandas as pd
+
+    from engine.contamination import contaminate
+    from engine.matching import RandomForest, f1_binary
+    from engine.pairs import RATIO_FEATURE_NAMES
+    tr, te, _ = _ttf(sf_dir)
+    Xte = te[RATIO_FEATURE_NAMES].to_numpy(dtype=np.float64)
+    yte = te["label"].to_numpy(dtype=np.int8)
+    rows = []
+    for fraction in (0.0, 0.2, 0.5):
+        if fraction == 0.0:
+            tdf = tr
+        else:
+            tds = ray.data.from_pandas(tr).repartition(8)
+            tdf = contaminate(tds, fraction=fraction, seed=1).to_pandas() \
+                .sort_values(["cand_id", "index_id"]).reset_index(drop=True)
+        model = RandomForest(random_state=1).fit(
+            tdf[RATIO_FEATURE_NAMES].to_numpy(dtype=np.float64),
+            tdf["label"].to_numpy(dtype=np.int8))
+        f1, p, r = f1_binary(yte, model.predict(Xte))
+        rows.append({"train_fraction_contaminated": fraction,
+                     "precision": round(p, 4), "recall": round(r, 4),
+                     "f1": round(f1, 4)})
+    base = rows[0]["f1"]
+    for row in rows:
+        row["f1_delta_vs_clean"] = round(row["f1"] - base, 4)
+    return pd.DataFrame(rows)
+
+
 def text_stats(sf_dir: str):
     return text.text_stats(_docs(sf_dir))
 
@@ -478,6 +561,8 @@ QUERIES = {
     "geo_block_cells": geo_block_cells,
     "geo_block_embedding": geo_block_embedding,
     "geo_contamination": geo_contamination,
+    "matching_models_eval": matching_models_eval,
+    "contamination_retrain": contamination_retrain,
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,

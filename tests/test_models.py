@@ -1,0 +1,71 @@
+"""Model zoo tests: Bagging/AdaBoost families, per-model evaluation sweep,
+contamination retraining experiment (reference classifier.py:43-54,106-176 and
+contamination_experiments.py:137-161)."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _blobs(n=400, seed=3):
+    rng = np.random.default_rng(seed)
+    X0 = rng.standard_normal((n // 2, 4)) + 0.0
+    X1 = rng.standard_normal((n // 2, 4)) + 2.0
+    X = np.vstack([X0, X1])
+    y = np.r_[np.zeros(n // 2, dtype=np.int8), np.ones(n // 2, dtype=np.int8)]
+    return X, y
+
+
+def test_bagging_and_adaboost_separate_blobs():
+    from engine.matching import AdaBoost, Bagging
+    X, y = _blobs()
+    for cls in (Bagging, AdaBoost):
+        m = cls(random_state=1).fit(X, y)
+        acc = float((m.predict(X) == y).mean())
+        assert acc >= 0.95, (cls.__name__, acc)
+        imp = m.feature_importances_
+        assert imp.shape == (4,) and abs(imp.sum() - 1.0) < 1e-9
+
+
+def test_adaboost_deterministic():
+    from engine.matching import AdaBoost
+    X, y = _blobs(seed=5)
+    a = AdaBoost(n_estimators=30).fit(X, y)
+    b = AdaBoost(n_estimators=30).fit(X, y)
+    assert np.array_equal(a._margin(X), b._margin(X))
+
+
+def test_registry_has_five_families():
+    from engine.matching import DEFAULT_GRIDS, MODEL_REGISTRY
+    assert set(MODEL_REGISTRY) == {"RandomForest", "GradientBoosting",
+                                   "Bagging", "AdaBoost", "LogisticRegression"}
+    assert set(DEFAULT_GRIDS) == set(MODEL_REGISTRY)
+
+
+@pytest.fixture(scope="module")
+def models_eval(ray_session):
+    from engine.queries import matching_models_eval
+    return matching_models_eval(SF)
+
+
+def test_models_eval_best_at_least_rf(models_eval):
+    df = models_eval
+    rf = df[df.model == "RandomForest"].f1.iloc[0]
+    assert df.f1.max() >= rf
+    # every tree-ensemble family should clear the flagship quality floor
+    for fam in ("RandomForest", "Bagging", "AdaBoost", "GradientBoosting"):
+        assert df[df.model == fam].f1.iloc[0] >= 0.9, fam
+    assert (df.train_sec > 0).all() and (df.inference_sec >= 0).all()
+
+
+def test_contamination_retrain_degrades_or_holds(ray_session):
+    from engine.queries import contamination_retrain
+    df = contamination_retrain(SF)
+    clean = df[df.train_fraction_contaminated == 0.0].f1.iloc[0]
+    worst = df[df.train_fraction_contaminated == 0.5].f1.iloc[0]
+    assert clean >= 0.9
+    # retraining on contaminated features must not IMPROVE the matcher
+    # beyond noise (the reference reports degradation)
+    assert worst <= clean + 0.01
+    assert (df.f1_delta_vs_clean.iloc[0] == 0.0)
