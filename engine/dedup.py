@@ -64,31 +64,37 @@ def _shingles(text: str, n: int = 3, pad: bool = False) -> set[str]:
 
 
 def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
-                        n: int = 3) -> ray.data.Dataset:
+                        n: int = 3,
+                        max_df: int = 1000) -> ray.data.Dataset:
     """All-pairs n-gram Jaccard >= threshold among docs sharing a shingle.
 
-    Shape: explode (shingle, doc) -> groupby(shingle) pair generation ->
-    distinct pairs -> exact verify.  Exact Jaccard values are ratios of ints
-    (SQL-exact).  Emits (a_id, b_id, jaccard) with a_id < b_id.
+    Shape (fully streaming, no driver materialization anywhere): explode
+    (shingle, doc) -> groupby(shingle) pair generation -> distributed
+    distinct -> bucketed-join exact verify.  Exact Jaccard values are ratios
+    of ints (SQL-exact).  Emits (a_id, b_id, jaccard) with a_id < b_id.
+
+    ``max_df``: document-frequency cutoff — a shingle appearing in more than
+    ``max_df`` docs is skipped for pair *generation* (its O(df^2) pair
+    explosion would dominate; any pair clearing a 0.6 threshold shares many
+    shingles, so high-DF stop-shingles are redundant as candidates).  This
+    bounds every group; pairs connected ONLY through dropped stop-shingles
+    are not generated (documented approximation; raise max_df to disable).
     """
     def explode(batch: pa.Table) -> pa.Table:
-        ids, shs, sizes = [], [], []
+        ids, shs = [], []
         for d, t in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
-            sh = _shingles(t, n)
-            for s in sh:
+            for s in _shingles(t, n):
                 ids.append(d)
                 shs.append(s)
-                sizes.append(len(sh))
         return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
-                         "shingle": pa.array(shs),
-                         "n_sh": pa.array(sizes, type=pa.int64())})
+                         "shingle": pa.array(shs)})
 
     exploded = docs.map_batches(explode, batch_format="pyarrow")
 
     def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
+        if len(ids) < 2 or len(ids) > max_df:  # DF cutoff bounds the group
             return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
                                  "b_id": pd.Series([], dtype="int64")})
         a, b = np.triu_indices(len(ids), k=1)
@@ -96,23 +102,26 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
 
     cand = exploded.groupby("shingle").map_groups(
         pairs_in_group, batch_format="pandas")
-    cand_df = cand.to_pandas().drop_duplicates().reset_index(drop=True)
-    return _verify_pairs_broadcast(docs, cand_df, n, threshold)
+    return _verify_pairs_join(docs, _distinct_pairs(cand), n, threshold)
 
 
-def _verify_pairs_broadcast(docs: ray.data.Dataset, cand_df: pd.DataFrame,
-                            n: int, threshold: float,
-                            pad: bool = False) -> ray.data.Dataset:
-    """Exact-Jaccard verification with a broadcast {doc -> shingle set} map.
+def _distinct_pairs(cand: ray.data.Dataset) -> ray.data.Dataset:
+    """Distributed (a_id, b_id) distinct: per-block pre-dedup (combiner)
+    then one vectorized hash aggregate — no per-group Python calls."""
+    from ray.data.aggregate import Count
 
-    Right choice when the candidate set is LARGE relative to the corpus
-    (n-gram blocking generates many low-precision candidates): the map is
-    built once with a distributed pass + small collect, then candidate
-    batches verify vectorized.  The per-pair-explode variant
-    (_verify_pairs_distributed) wins when candidates are few."""
-    import ray
+    def block_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a_id", "b_id"])
 
-    def doc_shingles(batch: pa.Table) -> pa.Table:
+    return cand.map_batches(block_dedup, batch_format="pandas") \
+        .groupby(["a_id", "b_id"]).aggregate(Count(alias_name="__n")) \
+        .drop_columns(["__n"])
+
+
+def _shingle_signatures(docs: ray.data.Dataset, n: int,
+                        pad: bool) -> ray.data.Dataset:
+    """(doc_id, shs: list<binary>) per-doc shingle-hash signature table."""
+    def sig(batch: pa.Table) -> pa.Table:
         ids, sets_ = [], []
         for d, t in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
@@ -122,101 +131,60 @@ def _verify_pairs_broadcast(docs: ray.data.Dataset, cand_df: pd.DataFrame,
         return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
                          "shs": pa.array(sets_, type=pa.list_(pa.binary()))})
 
-    sh_map = {}
-    for b in docs.map_batches(doc_shingles, batch_format="pyarrow")             .iter_batches(batch_format="pyarrow"):
-        for d, s in zip(b.column("doc_id").to_pylist(),
-                        b.column("shs").to_pylist()):
-            sh_map[d] = set(s)
-    ref = ray.put(sh_map)
-    if not len(cand_df):
-        return ray.data.from_arrow(pa.table({
-            "a_id": pa.array([], type=pa.int64()),
-            "b_id": pa.array([], type=pa.int64()),
-            "jaccard": pa.array([], type=pa.float64())}))
+    return docs.map_batches(sig, batch_format="pyarrow")
 
-    def verify(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        a = batch.column("a_id").to_pylist()
-        b = batch.column("b_id").to_pylist()
-        jac = np.empty(len(a))
-        for i, (x, y) in enumerate(zip(a, b)):
-            sa, sb = m[x], m[y]
+
+def _verify_pairs_join(docs: ray.data.Dataset, cand_pairs: ray.data.Dataset,
+                       n: int, threshold: float,
+                       pad: bool = False) -> ray.data.Dataset:
+    """Exact-Jaccard verification of candidate pairs, join-shaped.
+
+    pairs ⋈ signatures(a side) ⋈ signatures(b side) via two bucketed hash
+    joins, then a per-row exact int-ratio Jaccard + threshold filter.
+    Nothing — neither the corpus, nor the pair list, nor a doc->shingles
+    map — is ever materialized on the driver; both joins bound per-group
+    memory by bucket count (the earlier broadcast variant serialized the
+    whole corpus through one process)."""
+    from engine.joins import bucketed_hash_join
+
+    # materialize (to the distributed object store, not the driver): the
+    # signature table feeds BOTH join sides and the pair list feeds the
+    # first join — without pinning, each lazy branch re-executes its whole
+    # upstream chain
+    sigs = _shingle_signatures(docs, n, pad).materialize()
+    cand_pairs = cand_pairs.materialize()
+
+    def sig_side(prefix: str) -> ray.data.Dataset:
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({f"{prefix}_doc": b.column("doc_id"),
+                             f"{prefix}_shs": b.column("shs")})
+        return sigs.map_batches(f, batch_format="pyarrow")
+
+    j = bucketed_hash_join(cand_pairs, sig_side("a"),
+                           "a_id", "a_doc").drop_columns(["a_doc"])
+    j = bucketed_hash_join(j, sig_side("b"),
+                           "b_id", "b_doc").drop_columns(["b_doc"])
+
+    def jac(batch: pa.Table) -> pa.Table:
+        a_shs = batch.column("a_shs").to_pylist()
+        b_shs = batch.column("b_shs").to_pylist()
+        out = np.empty(batch.num_rows)
+        for i, (sa, sb) in enumerate(zip(a_shs, b_shs)):
+            sa, sb = set(sa), set(sb)
             if not sa or not sb:
-                jac[i] = 0.0
+                out[i] = 0.0
                 continue
             inter = len(sa & sb)
-            jac[i] = inter / (len(sa) + len(sb) - inter)
-        batch = batch.append_column("jaccard", pa.array(jac, type=pa.float64()))
-        return batch.filter(pc.greater_equal(batch.column("jaccard"),
-                                             pa.scalar(threshold)))
+            out[i] = inter / (len(sa) + len(sb) - inter)
+        t = pa.table({
+            "a_id": batch.column("a_id").cast(pa.int64()),
+            "b_id": batch.column("b_id").cast(pa.int64()),
+            "jaccard": pa.array(out, type=pa.float64()),
+        })
+        return t.filter(pc.greater_equal(t.column("jaccard"),
+                                         pa.scalar(threshold)))
 
-    return ray.data.from_pandas(cand_df).map_batches(
-        verify, batch_format="pyarrow", batch_size=8192)
-
-
-
-def _verify_pairs_distributed(docs: ray.data.Dataset, cand_df: pd.DataFrame,
-                              n: int, threshold: float,
-                              pad: bool = False) -> ray.data.Dataset:
-    """Exact-Jaccard verification of candidate pairs, distributed.
-
-    The (small) candidate pair list is broadcast; shingle rows of the
-    involved docs are exploded as (pair_idx, side, shingle-hash), one
-    groupby(pair_idx) co-locates both sides, jaccard is exact int ratio.
-    No driver-side pass over the corpus (the old version iterated every doc
-    on the driver, which serialized the whole operator)."""
-    import ray
-    if not len(cand_df):
-        return ray.data.from_arrow(pa.table({
-            "a_id": pa.array([], type=pa.int64()),
-            "b_id": pa.array([], type=pa.int64()),
-            "jaccard": pa.array([], type=pa.float64())}))
-    pairs_list = list(zip(cand_df.a_id.astype(int), cand_df.b_id.astype(int)))
-    by_doc = {}
-    for pi, (a, b) in enumerate(pairs_list):
-        by_doc.setdefault(int(a), []).append((pi, 0))
-        by_doc.setdefault(int(b), []).append((pi, 1))
-    ref = ray.put(by_doc)
-    pairs_ref = ray.put(pairs_list)
-
-    def explode_involved(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        out_pi, out_side, out_sh = [], [], []
-        for d, t in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("text").to_pylist()):
-            hits = m.get(int(d))
-            if not hits:
-                continue
-            shs = [hashlib.md5(s.encode()).digest()[:8]
-                   for s in _shingles(t, n, pad=pad)]
-            for (pi, side) in hits:
-                for sh in shs:
-                    out_pi.append(pi)
-                    out_side.append(side)
-                    out_sh.append(sh)
-        return pa.table({"pi": pa.array(out_pi, type=pa.int64()),
-                         "side": pa.array(out_side, type=pa.int8()),
-                         "sh": pa.array(out_sh, type=pa.binary())})
-
-    def jaccard_group(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
-                              "b_id": pd.Series([], dtype="int64"),
-                              "jaccard": pd.Series([], dtype="float64")})
-        pairs_l = ray.get(pairs_ref)
-        pi = int(g["pi"].iloc[0])
-        sa = set(g[g.side == 0].sh)
-        sb = set(g[g.side == 1].sh)
-        if not sa or not sb:
-            return empty
-        inter = len(sa & sb)
-        jac = inter / (len(sa) + len(sb) - inter)
-        if jac < threshold:
-            return empty
-        a, b = pairs_l[pi]
-        return pd.DataFrame({"a_id": [a], "b_id": [b], "jaccard": [jac]})
-
-    return docs.map_batches(explode_involved, batch_format="pyarrow") \
-        .groupby("pi").map_groups(jaccard_group, batch_format="pandas")
+    return j.map_batches(jac, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -260,11 +228,18 @@ def minhash_signatures(docs: ray.data.Dataset, num_perm: int = 64,
 
 def minhash_lsh_pairs(docs: ray.data.Dataset, num_perm: int = 64,
                       bands: int = 16, threshold: float = 0.5,
-                      n: int = 3) -> ray.data.Dataset:
+                      n: int = 3, max_bucket: int = 2000) -> ray.data.Dataset:
     """Banded LSH candidate pairs, verified with exact Jaccard.
 
     shingle -> minhash -> (band_id, band_hash, doc_id) explode ->
-    groupby(band) pairs -> dedup -> verify (ray_guide.md near-dup recipe).
+    groupby(band) pairs -> distributed distinct -> bucketed-join verify
+    (ray_guide.md near-dup recipe); no driver-side pair materialization.
+
+    ``max_bucket`` caps LSH bucket size: a band bucket holding more than
+    ``max_bucket`` docs is dropped entirely (classic stop-bucket removal —
+    such buckets are near-degenerate hashes whose O(size^2) pair explosion
+    would dominate; true near-dup clusters that large still surface through
+    their other 15 bands).  Bounds every group at scale.
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, n)
@@ -285,7 +260,7 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, num_perm: int = 64,
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
+        if len(ids) < 2 or len(ids) > max_bucket:  # stop-bucket removal
             return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
                                  "b_id": pd.Series([], dtype="int64")})
         a, b = np.triu_indices(len(ids), k=1)
@@ -293,8 +268,8 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, num_perm: int = 64,
 
     cand = sigs.map_batches(band_explode, batch_format="pyarrow") \
         .groupby(["band", "bh"]).map_groups(pairs_in_bucket, batch_format="pandas")
-    cand_df = cand.to_pandas().drop_duplicates().reset_index(drop=True)
-    return _verify_pairs_distributed(docs, cand_df, n, threshold, pad=True)
+    return _verify_pairs_join(docs, _distinct_pairs(cand), n, threshold,
+                              pad=True)
 
 
 def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:

@@ -94,16 +94,24 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     def tag(side: str, key: str):
         def fn(batch: pa.Table) -> pa.Table:
-            h = stable_hash64(batch.column(key).to_pylist())
-            batch = batch.append_column(
+            # align schema AND types: upstream pandas/sort stages can promote
+            # int64-with-nulls to double, and the bucket hash of str(400.0)
+            # differs from str(400) — keys must hash identically on both sides
+            cols = {}
+            for name in order:
+                if name in batch.column_names:
+                    col = batch.column(name)
+                    if col.type != combined[name]:
+                        col = col.cast(combined[name])
+                else:
+                    col = pa.nulls(batch.num_rows, type=combined[name])
+                cols[name] = col
+            out = pa.table(cols)
+            h = stable_hash64(out.column(key).to_pylist())
+            out = out.append_column(
                 "__bucket", pa.array((h % num_buckets).astype(np.int64)))
-            batch = batch.append_column(
-                "__side", pa.array([side] * batch.num_rows))
-            for name in order:  # align schemas for union
-                if name not in batch.column_names:
-                    batch = batch.append_column(
-                        name, pa.nulls(batch.num_rows, type=combined[name]))
-            return batch.select(order + ["__bucket", "__side"])
+            return out.append_column(
+                "__side", pa.array([side] * out.num_rows))
         return fn
 
     lt = left.map_batches(tag("l", left_key), batch_format="pyarrow")
@@ -112,10 +120,33 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
     lcols = list(lschema.names)
     rcols = list(rschema.names)
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"][lcols]
-        rg = g[g["__side"] == "r"][rcols]
-        return lg.merge(rg, left_on=left_key, right_on=right_key, how=how)
+    def join_group(g: pa.Table) -> pa.Table:
+        """Arrow-native local hash join: pandas matches only the key/index
+        pairs; payload columns (incl. list/binary types that pandas would
+        mangle) move via zero-copy Table.take."""
+        import pyarrow.compute as pc
+        mask = pc.equal(g.column("__side"), pa.scalar("l"))
+        lg = g.filter(mask).select(lcols)
+        rg = g.filter(pc.invert(mask)).select(rcols)
+        m = pd.merge(
+            pd.DataFrame({"k": lg.column(left_key).to_pylist(),
+                          "li": np.arange(lg.num_rows)}),
+            pd.DataFrame({"k": rg.column(right_key).to_pylist(),
+                          "ri": np.arange(rg.num_rows)}),
+            on="k", how=how)
+        lt_ = lg.take(pa.array(m["li"], from_pandas=True))
+        rt_ = rg.take(pa.array(m["ri"], from_pandas=True))
+        cols = {}
+        for name in lt_.column_names:
+            col = lt_.column(name)
+            cols[name] = col.cast(combined[name]) \
+                if col.type != combined[name] else col
+        for name in rt_.column_names:
+            col = rt_.column(name)
+            if col.type != combined[name]:
+                col = col.cast(combined[name])
+            cols[name if name not in cols else name + "__r"] = col
+        return pa.table(cols)
 
     return lt.union(rt).groupby("__bucket").map_groups(
-        join_group, batch_format="pandas")
+        join_group, batch_format="pyarrow")

@@ -168,6 +168,31 @@ def test_minhash_lsh_recovers_planted_dups(ray_session):
     assert hit >= 0.95, f"LSH recall {hit}"
 
 
+def test_dedup_skew_bounded_by_df_cutoff(ray_session):
+    """One stop-shingle present in 50% of docs must not explode pair-gen:
+    with max_df below the stop-shingle's DF the operator completes, skips
+    the hot group, and still finds true near-dups through their low-DF
+    shingles."""
+    import pyarrow as pa
+    from engine.dedup import ngram_jaccard_pairs
+    n = 400
+    texts = []
+    for i in range(n):
+        base = f"w{i}a w{i}b w{i}c w{i}d w{i}e"
+        if i % 2 == 0:  # 3-gram 'common stop shingle' lands in 50% of docs
+            base += " common stop shingle"
+        texts.append(base)
+    texts.append(texts[0])  # planted exact dup of doc 0
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n + 1)), type=pa.int64()),
+        "text": pa.array(texts)})).repartition(4)
+    out = ngram_jaccard_pairs(docs, threshold=0.6, max_df=50).to_pandas()
+    # the planted pair shares 5 low-DF shingles -> found despite the cutoff
+    assert ((out.a_id == 0) & (out.b_id == n) & (out.jaccard == 1.0)).any()
+    # nothing else clears 0.6 (stop-shingle-only pairs were never generated)
+    assert len(out) == 1
+
+
 def test_lsh_knn_recall_vs_brute(ray_session):
     from engine.similarity import brute_knn, lsh_knn
     emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
