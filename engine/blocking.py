@@ -430,39 +430,39 @@ def cell_blocking(props: ray.data.Dataset, res: int = 9, ring: int = 1,
 
     cs = cell_mod.cell_size(res)
 
+    R = 2 * ring + 1
+    dxy = np.array([(dx, dy) for dx in range(-ring, ring + 1)
+                    for dy in range(-ring, ring + 1)], dtype=np.int64)
+
     def assign(batch: pa.Table) -> pa.Table:
+        """Vectorized cell assignment: index rows -> their cell; cand rows
+        -> the full Chebyshev ring (np.repeat explode + Table.take — no
+        per-row Python, same shape as spatial.tiles_dataset)."""
+        import pyarrow.compute as pc
         cx = batch.column("cx").to_numpy()
         cy = batch.column("cy").to_numpy()
-        src = np.asarray(batch.column("source").to_pylist())
-        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=object)
-        out_id, out_src, out_cell, out_x, out_y = [], [], [], [], []
+        is_cand = pc.equal(batch.column("source"), pa.scalar("cands")) \
+            .to_numpy(zero_copy_only=False)
         ix = np.floor(cx / cs).astype(np.int64)
         iy = np.floor(cy / cs).astype(np.int64)
         n_side = 1 << res
-        for i in range(len(ids)):
-            if src[i] == "index":
-                cells_i = [(ix[i], iy[i])]
-            else:  # cands replicate to the ring neighborhood
-                cells_i = [(ix[i] + dx, iy[i] + dy)
-                           for dx in range(-ring, ring + 1)
-                           for dy in range(-ring, ring + 1)
-                           if 0 <= ix[i] + dx < n_side and 0 <= iy[i] + dy < n_side]
-            for (jx, jy) in cells_i:
-                out_id.append(ids[i])
-                out_src.append(src[i])
-                out_cell.append(int(cell_mod.encode(res, jx, jy)))
-                out_x.append(cx[i])
-                out_y.append(cy[i])
-        return pa.table({
-            "doc_id": pa.array(out_id, type=pa.string()),
-            "source": pa.array(out_src, type=pa.string()),
-            "cell": pa.array(out_cell, type=pa.int64()),
-            "cx": pa.array(out_x, type=pa.float64()),
-            "cy": pa.array(out_y, type=pa.float64()),
-        })
+        idx_rows = np.nonzero(~is_cand)[0]
+        cand_rows = np.nonzero(is_cand)[0]
+        jx = ix[cand_rows][:, None] + dxy[None, :, 0]
+        jy = iy[cand_rows][:, None] + dxy[None, :, 1]
+        valid = ((jx >= 0) & (jx < n_side) & (jy >= 0) & (jy < n_side)).ravel()
+        take_c = np.repeat(cand_rows, R * R)[valid]
+        cell_c = cell_mod.encode(res, jx.ravel()[valid], jy.ravel()[valid])
+        cell_i = cell_mod.encode(res, ix[idx_rows], iy[idx_rows])
+        out = batch.take(pa.array(np.concatenate([idx_rows, take_c])))
+        return out.append_column(
+            "cell", pa.array(np.concatenate([cell_i, cell_c]),
+                             type=pa.int64()))
 
+    # pinned to the object store: feeds both the hot-cell count and the salt
+    # stage (lazy branches would re-execute the assignment twice)
     assigned = props.select_columns(["doc_id", "source", "cx", "cy"]) \
-        .map_batches(assign, batch_format="pyarrow")
+        .map_batches(assign, batch_format="pyarrow").materialize()
 
     # hot-cell salting: count per cell, broadcast the hot set, split index
     # rows into sub-cells (cands replicate to all salts of their cell)
@@ -473,58 +473,89 @@ def cell_blocking(props: ray.data.Dataset, res: int = 9, ring: int = 1,
     hot_ref = ray.put(hot)
 
     def salt(batch: pa.Table) -> pa.Table:
+        """Vectorized hot-cell salting: index rows hash into one sub-cell,
+        cand rows of hot cells replicate to every sub-cell (np.repeat
+        index arithmetic + Table.take — no per-row .as_py())."""
         hot_map = ray.get(hot_ref)
         if not hot_map:
             return batch.append_column(
-                "salted", pc.cast(batch.column("cell"), pa.int64()))
+                "salted", pc.cast(pc.shift_left(batch.column("cell"),
+                                                pa.scalar(6)), pa.int64()))
         cell = batch.column("cell").to_numpy()
-        src = np.asarray(batch.column("source").to_pylist())
-        ids = batch.column("doc_id").to_pylist()
-        h = stable_hash64(ids)
-        out_rows = {name: [] for name in batch.column_names}
-        out_salted = []
-        for i in range(batch.num_rows):
-            n_salt = hot_map.get(int(cell[i]), 1)
-            if n_salt == 1 or src[i] == "index":
-                salts = [int(h[i] % n_salt)] if n_salt > 1 else [0]
-            else:  # cand replicates to every sub-cell
-                salts = list(range(n_salt))
-            for s in salts:
-                for name in batch.column_names:
-                    out_rows[name].append(batch.column(name)[i].as_py())
-                out_salted.append((int(cell[i]) << 6) | s)
-        tbl = pa.table({name: out_rows[name] for name in batch.column_names})
-        return tbl.append_column("salted", pa.array(out_salted, type=pa.int64()))
+        is_cand = pc.equal(batch.column("source"), pa.scalar("cands")) \
+            .to_numpy(zero_copy_only=False)
+        h = stable_hash64(batch.column("doc_id").to_pylist())
+        n_salt = pd.Series(cell).map(hot_map).fillna(1).to_numpy(np.int64)
+        reps = np.where(is_cand, n_salt, 1)
+        idx = np.repeat(np.arange(batch.num_rows), reps)
+        start = np.cumsum(reps) - reps
+        # per-replica offset 0..reps_i-1 (cand rows enumerate sub-cells)
+        offset = np.arange(int(reps.sum()), dtype=np.int64) \
+            - np.repeat(start, reps)
+        base = (h % n_salt.astype(np.uint64)).astype(np.int64)
+        salt_vals = np.where(np.repeat(is_cand, reps), offset,
+                             np.repeat(base, reps))
+        salted = (np.repeat(cell, reps).astype(np.int64) << 6) | salt_vals
+        out = batch.take(pa.array(idx))
+        return out.append_column("salted", pa.array(salted, type=pa.int64()))
 
-    salted = assigned.map_batches(salt, batch_format="pyarrow")
+    # coarse shuffle buckets: one Ray group per ~64th of the key space, with
+    # C-speed pandas segmentation inside — per-KEY map_groups would pay
+    # ~1 ms of per-group overhead on tens of thousands of near-empty cells
+    NUM_BUCKETS = 64
 
-    def local_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        cands = g[g.source == "cands"]
-        idx = g[g.source == "index"]
-        if cands.empty or idx.empty:
-            return pd.DataFrame({"cand_id": pd.Series([], dtype="object"),
-                                 "index_id": pd.Series([], dtype="object"),
-                                 "dist2": pd.Series([], dtype="float64")})
-        cxy = cands[["cx", "cy"]].to_numpy()
-        ixy = idx[["cx", "cy"]].to_numpy()
-        d2 = ((cxy[:, None, :] - ixy[None, :, :]) ** 2).sum(-1)
-        kk = min(nn_param, d2.shape[1])
-        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-        rows = np.arange(len(cxy))[:, None]
-        return pd.DataFrame({
-            "cand_id": np.repeat(cands.doc_id.to_numpy(), kk),
-            "index_id": idx.doc_id.to_numpy()[part].ravel(),
-            "dist2": d2[rows, part].ravel(),
-        })
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        s = batch.column("salted").to_numpy()
+        return batch.append_column(
+            "__bucket", pa.array(((s ^ (s >> 17)) % NUM_BUCKETS).astype(np.int64)))
 
-    local = salted.groupby("salted").map_groups(local_pairs, batch_format="pandas")
+    salted = assigned.map_batches(salt, batch_format="pyarrow") \
+        .map_batches(add_bucket, batch_format="pyarrow")
 
-    def rerank(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["index_id"])
-        g = g.assign(_num=g.index_id.astype(np.int64))
-        g = g.sort_values(["dist2", "_num"]).head(nn_param)
-        g = g.drop(columns=["_num"]).reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g
+    _EMPTY = {"cand_id": pd.Series([], dtype="object"),
+              "index_id": pd.Series([], dtype="object"),
+              "dist2": pd.Series([], dtype="float64")}
 
-    return local.groupby("cand_id").map_groups(rerank, batch_format="pandas")
+    def local_pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized per-cell candidate generation for one shuffle bucket:
+        ONE cands⋈index merge on the cell key replaces per-cell slicing
+        (cell cross-products are bounded by the salting cap), then a
+        cumcount top-k per (cell, cand)."""
+        C = g[g.source == "cands"][["doc_id", "salted", "cx", "cy"]] \
+            .rename(columns={"doc_id": "cand_id", "cx": "ccx", "cy": "ccy"})
+        I = g[g.source == "index"][["doc_id", "salted", "cx", "cy"]] \
+            .rename(columns={"doc_id": "index_id", "cx": "icx", "cy": "icy"})
+        m = C.merge(I, on="salted")
+        if m.empty:
+            return pd.DataFrame(_EMPTY)
+        dx = m.ccx.to_numpy() - m.icx.to_numpy()
+        dy = m.ccy.to_numpy() - m.icy.to_numpy()
+        m["dist2"] = dx * dx + dy * dy
+        m["_num"] = m.index_id.astype(np.int64)
+        m = m.sort_values(["salted", "cand_id", "dist2", "_num"],
+                          kind="mergesort")
+        rk = m.groupby(["salted", "cand_id"], sort=False).cumcount()
+        m = m[rk.to_numpy() < nn_param]
+        return m[["cand_id", "index_id", "dist2"]].reset_index(drop=True)
+
+    local = salted.groupby("__bucket").map_groups(
+        local_pairs_bucket, batch_format="pandas")
+
+    def add_cand_bucket(batch: pa.Table) -> pa.Table:
+        num = np.asarray(batch.column("cand_id").to_pylist()).astype(np.int64)
+        return batch.append_column(
+            "__cb", pa.array((num % NUM_BUCKETS).astype(np.int64)))
+
+    def rerank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Fully vectorized per-cand top-k within the bucket: dedup, sort by
+        (cand, dist2, numeric id), cumcount rank, cut at nn_param."""
+        g = g.drop_duplicates(["cand_id", "index_id"]).copy()
+        g["_num"] = g.index_id.astype(np.int64)
+        g = g.sort_values(["cand_id", "dist2", "_num"], kind="mergesort")
+        g["rank"] = (g.groupby("cand_id", sort=False).cumcount() + 1) \
+            .astype(np.int32)
+        g = g[g["rank"] <= nn_param]
+        return g.drop(columns=["_num", "__cb"]).reset_index(drop=True)
+
+    return local.map_batches(add_cand_bucket, batch_format="pyarrow") \
+        .groupby("__cb").map_groups(rerank_bucket, batch_format="pandas")
