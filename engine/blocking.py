@@ -426,7 +426,7 @@ def cell_blocking(props: ray.data.Dataset, res: int = 9, ring: int = 1,
     import pyarrow.compute as pc
 
     from engine import cells as cell_mod
-    from engine.joins import stable_hash64
+    from engine.joins import fast_hash64
 
     cs = cell_mod.cell_size(res)
 
@@ -484,7 +484,7 @@ def cell_blocking(props: ray.data.Dataset, res: int = 9, ring: int = 1,
         cell = batch.column("cell").to_numpy()
         is_cand = pc.equal(batch.column("source"), pa.scalar("cands")) \
             .to_numpy(zero_copy_only=False)
-        h = stable_hash64(batch.column("doc_id").to_pylist())
+        h = fast_hash64(batch.column("doc_id").to_pylist())
         n_salt = pd.Series(cell).map(hot_map).fillna(1).to_numpy(np.int64)
         reps = np.where(is_cand, n_salt, 1)
         idx = np.repeat(np.arange(batch.num_rows), reps)

@@ -35,26 +35,54 @@ def stable_hash64(values) -> np.ndarray:
     return out
 
 
+def fast_hash64(values) -> np.ndarray:
+    """Vectorized FNV-1a-style 64-bit hash over UTF-32 codepoints.
+
+    Used where only the DISTRIBUTION matters (join bucketing, hot-cell
+    salting) — no per-value Python loop; `stable_hash64`'s md5 stays on the
+    semantic paths (splits, sampling, contamination) whose values define
+    reproducible experiment membership."""
+    arr = np.asarray(values, dtype="U")
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    w = max(1, arr.dtype.itemsize // 4)
+    codes = arr.view(np.uint32).reshape(len(arr), w).astype(np.uint64)
+    h = np.full(len(arr), np.uint64(14695981039346656037))
+    prime = np.uint64(1099511628211)
+    for j in range(w):
+        c = codes[:, j]
+        # skip NUL padding so the hash is independent of the batch-local
+        # fixed width (same key must land in the same bucket in every batch)
+        h = np.where(c != 0, (h ^ c) * prime, h)
+    return h
+
+
 def broadcast_lookup(ds: ray.data.Dataset, key: str, lookup: dict,
                      out_cols: dict[str, str], default=None) -> ray.data.Dataset:
     """Attach columns from a broadcast {key -> tuple} mapping.
 
     ``out_cols`` maps output column name -> index into the tuple values.
+    Lookups are vectorized: each worker unpacks the broadcast mapping once
+    into per-column pandas Series and maps key arrays in C.
     """
     ref = ray.put(lookup)
     names = list(out_cols)
     idxs = [out_cols[n] for n in names]
+    cache: dict = {}
 
     def attach(batch: pa.Table) -> pa.Table:
-        table = ray.get(ref)
-        keys = batch.column(key).to_pylist()
-        cols = {n: [] for n in names}
-        for k in keys:
-            v = table.get(k)
-            for n, i in zip(names, idxs):
-                cols[n].append(default if v is None else v[i])
+        if "maps" not in cache:
+            table = ray.get(ref)
+            keys_ = list(table.keys())
+            cache["maps"] = {
+                n: pd.Series([table[k][i] for k in keys_], index=keys_)
+                for n, i in zip(names, idxs)}
+        keys = pd.Series(batch.column(key).to_numpy(zero_copy_only=False))
         for n in names:
-            batch = batch.append_column(n, pa.array(cols[n]))
+            vals = keys.map(cache["maps"][n])
+            if default is not None:
+                vals = vals.fillna(default)
+            batch = batch.append_column(n, pa.Array.from_pandas(vals))
         return batch
 
     return ds.map_batches(attach, batch_format="pyarrow")
@@ -107,7 +135,7 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
                     col = pa.nulls(batch.num_rows, type=combined[name])
                 cols[name] = col
             out = pa.table(cols)
-            h = stable_hash64(out.column(key).to_pylist())
+            h = fast_hash64(out.column(key).to_pylist())
             out = out.append_column(
                 "__bucket", pa.array((h % num_buckets).astype(np.int64)))
             return out.append_column(

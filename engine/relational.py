@@ -93,11 +93,17 @@ def customers_with_orders(sf_dir: str, anti: bool = False,
     """Semi (or anti) join: customers having (no) high-value orders
     (o_totalprice > min_total); the key set is broadcast — no shuffle."""
     import pyarrow.compute as _pc
-    keys = set()
-    for b in _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
-            .iter_batches(batch_format="pyarrow"):
+
+    def distinct_keys(b: pa.Table) -> pa.Table:
         b = b.filter(_pc.greater(b.column("o_totalprice"), pa.scalar(min_total)))
-        keys.update(b.column("o_custkey").to_pylist())
+        return pa.table({"o_custkey": pa.array(
+            np.unique(b.column("o_custkey").to_numpy()))})
+
+    # filter + per-block distinct run in Ray; only distinct keys reach the
+    # driver (the broadcast side of the semi-join)
+    key_blocks = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(distinct_keys, batch_format="pyarrow").to_pandas()
+    keys = set(key_blocks["o_custkey"].tolist())
     cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
     return broadcast_semi_join(cust, "c_custkey", keys, anti=anti)
 
@@ -141,37 +147,59 @@ def events_asof_join(sf_dir: str) -> ray.data.Dataset:
     customer with o_orderdate <= event ts (ties on date broken by max
     orderkey — fully deterministic).
 
-    Physical plan (ray_guide.md as-of recipe): orders are small per user ->
-    broadcast, events groupby(user) with pd.merge_asof per sorted group.
+    Physical plan: both sides co-partitioned by hashed customer key (union
+    + ONE groupby shuffle — no broadcast of the orders table, no per-user
+    rescan), then one vectorized ``pd.merge_asof(by=user)`` per bucket.
     Events with no prior order are dropped (inner as-of).
     """
     import pandas as pd
-    import ray
-    orders = _t(sf_dir, "orders",
-                ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
-    orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
-    ref = ray.put(orders)
     events = _t(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    B = 32
+    eschema, oschema = events.schema(), orders.schema()
+    combined = {**dict(zip(eschema.names, eschema.types)),
+                **dict(zip(oschema.names, oschema.types))}
+    order_cols = list(combined)
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        od = ray.get(ref)
-        uid = int(g["user_id"].iloc[0])
-        mine = od[od.o_custkey == uid]
-        if mine.empty:
-            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
-                                 "user_id": pd.Series([], dtype="int64"),
-                                 "last_orderkey": pd.Series([], dtype="int64")})
-        g = g.sort_values(["ts", "event_id"])
-        merged = pd.merge_asof(
-            g[["event_id", "ts", "user_id"]], 
-            mine[["o_orderdate", "o_orderkey"]].rename(
-                columns={"o_orderdate": "ts"}),
-            on="ts", direction="backward")
-        merged = merged.dropna(subset=["o_orderkey"])
+    def tag(side: str, key: str):
+        def fn(b: pa.Table) -> pa.Table:
+            cols = {name: (b.column(name) if name in b.column_names
+                           else pa.nulls(b.num_rows, type=combined[name]))
+                    for name in order_cols}
+            out = pa.table(cols)
+            u = b.column(key).to_numpy()
+            out = out.append_column(
+                "__b", pa.array((u % B).astype(np.int64)))
+            return out.append_column(
+                "__side", pa.array([side] * b.num_rows))
+        return fn
+
+    ev = events.map_batches(tag("e", "user_id"), batch_format="pyarrow")
+    od = orders.map_batches(tag("o", "o_custkey"), batch_format="pyarrow")
+
+    _EMPTY = {"event_id": pd.Series([], dtype="int64"),
+              "user_id": pd.Series([], dtype="int64"),
+              "last_orderkey": pd.Series([], dtype="int64")}
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["__side"] == "e"]
+        o = g[g["__side"] == "o"]
+        if e.empty or o.empty:
+            return pd.DataFrame(_EMPTY)
+        # ties on date -> max orderkey, reduced before the asof
+        o = o.groupby(["o_custkey", "o_orderdate"],
+                      as_index=False)["o_orderkey"].max()
+        o = o.sort_values("o_orderdate").rename(columns={"o_orderdate": "ts"})
+        e = e[["event_id", "ts", "user_id"]].sort_values("ts")
+        m = pd.merge_asof(e, o, on="ts",
+                          left_by="user_id", right_by="o_custkey",
+                          direction="backward")
+        m = m.dropna(subset=["o_orderkey"])
         return pd.DataFrame({
-            "event_id": merged["event_id"].astype("int64").to_numpy(),
-            "user_id": merged["user_id"].astype("int64").to_numpy(),
-            "last_orderkey": merged["o_orderkey"].astype("int64").to_numpy(),
+            "event_id": m["event_id"].astype("int64").to_numpy(),
+            "user_id": m["user_id"].astype("int64").to_numpy(),
+            "last_orderkey": m["o_orderkey"].astype("int64").to_numpy(),
         })
 
-    return events.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return ev.union(od).groupby("__b").map_groups(
+        asof_bucket, batch_format="pandas")

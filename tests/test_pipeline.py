@@ -95,6 +95,16 @@ def test_threshold_filter_monotonic(ray_session):
     assert counts[2] <= nn.count()
 
 
+def test_flagship_log_transform_quality(ray_session):
+    """Quality floor holds under the reference's default log1p property
+    normalization (config.py:52) — blocking recall and matching F1."""
+    from engine.pipeline import run_flagship
+    res = run_flagship(SF, seed=1, bkafi_dim=6, k=5, log_transform=True)
+    assert res["matching"]["f1"] >= 0.9
+    r = res["blocking_recall"]
+    assert r[r.k == 5].blocking_recall.iloc[0] >= 0.99
+
+
 def test_flagship_fully_deterministic(ray_session):
     """Same seed -> bit-identical scored pairs across independent runs
     (stable hashes, seeded RF, deterministic tie-breaks — SURVEY §7.4.6)."""
