@@ -334,6 +334,32 @@ SELECT doc_id,
 FROM documents
 """
 
+# heuristic language ID: argmax of distinct-token overlap / profile size,
+# ties -> alphabetically first language (the engine's strict-> scan over
+# sorted profiles).  Profiles mirror engine/text.py LANG_PROFILES verbatim.
+TEXT_LANGID = """
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), s AS (
+  SELECT doc_id, 'en' AS lang,
+         CAST(len(list_filter(toks, x -> x IN ('the','a','and','fast','key'))) AS DOUBLE) / 5 AS score
+  FROM t
+  UNION ALL
+  SELECT doc_id, 'es',
+         CAST(len(list_filter(toks, x -> x IN ('the','data','slow','table'))) AS DOUBLE) / 4
+  FROM t
+  UNION ALL
+  SELECT doc_id, 'zh',
+         CAST(len(list_filter(toks, x -> x IN ('spark','batch','window'))) AS DOUBLE) / 3
+  FROM t
+), r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rnk
+  FROM s
+)
+SELECT doc_id, lang AS pred_lang FROM r WHERE rnk = 1
+"""
+
 _DUP_CORPUS = """
 WITH corpus AS (
   SELECT doc_id, text FROM documents

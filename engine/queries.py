@@ -598,6 +598,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_running": o.REL_EVENTS_RUNNING,
         "q_events_asof": o.REL_EVENTS_ASOF,
         "text_stats": o.TEXT_STATS,
+        "text_langid": o.TEXT_LANGID,
         "dedup_exact": o.DEDUP_EXACT,
         "dedup_ngram": o.DEDUP_NGRAM,
         "sim_knn_cosine": o.SIM_KNN,
