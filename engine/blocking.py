@@ -74,8 +74,6 @@ def robust_scale_stats_ds(ds: ray.data.Dataset, cols: list[str],
 
     ``sdr``: positive per-column factors applied to the values BEFORE the
     percentiles (the reference's fit-on-sdr-scaled-cands semantics)."""
-    from ray.data.aggregate import Sum
-
     def counts(batch: pa.Table) -> pa.Table:
         outs = []
         for j, c in enumerate(cols):
@@ -87,9 +85,13 @@ def robust_scale_stats_ds(ds: ray.data.Dataset, cols: list[str],
             }))
         return pa.concat_tables(outs)
 
-    agg = ds.select_columns(cols).map_batches(counts, batch_format="pyarrow") \
-        .groupby(["col", "value"]).aggregate(Sum("n", alias_name="n")) \
-        .to_pandas()
+    # two-phase aggregate: per-block unique+count partials (combiner) are
+    # collected and merged on the driver — a full (col, value) groupby
+    # shuffle costs a ~20s all-to-all here for zero benefit, since the
+    # merged distribution must land on the driver anyway
+    partials = ds.select_columns(cols) \
+        .map_batches(counts, batch_format="pyarrow").to_pandas()
+    agg = partials.groupby(["col", "value"], as_index=False)["n"].sum()
     sdr = np.ones(len(cols)) if sdr is None else np.asarray(sdr, dtype=np.float64)
     med, q25, q75 = (np.empty(len(cols)) for _ in range(3))
     for j in range(len(cols)):

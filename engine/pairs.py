@@ -77,18 +77,42 @@ def pair_features_dataset(pairs: ray.data.Dataset,
                              batch_size=16384, concurrency=(1, concurrency))
 
 
-def pair_features_join(pairs: ray.data.Dataset, props: ray.data.Dataset,
-                       num_buckets: int = 32) -> ray.data.Dataset:
-    """Dataset-native pair feature stage — the 10^12-scale path.
+BROADCAST_MAX_SIDE_ROWS = 2_000_000  # ~430 MB of f64 side matrix per side
 
-    pairs ⋈ props(cands side) on cand_id, ⋈ props(index side) on index_id,
-    via two explicit bucketed hash joins (SURVEY §7.3), then the vectorized
-    ratio kernel.  No property table ever lands on the driver; the broadcast
-    variant ``pair_features_dataset`` remains the small-side fast case.
+
+def pair_features_join(pairs: ray.data.Dataset, props: ray.data.Dataset,
+                       num_buckets: int = 32,
+                       strategy: str = "auto") -> ray.data.Dataset:
+    """Dataset-native pair feature stage with size-aware plan selection.
+
+    ``strategy='broadcast'`` (the small-side fast case — chosen by 'auto'
+    when both property sides fit comfortably in a worker heap): each side's
+    narrow (doc_id + 25 props) matrix is collected once, ``ray.put`` once,
+    and pairs stream through a no-shuffle vectorized ratio map.
+
+    ``strategy='join'`` (the 10^12 path — chosen by 'auto' beyond
+    BROADCAST_MAX_SIDE_ROWS): pairs ⋈ props(cands) on cand_id, ⋈
+    props(index) on index_id via two explicit bucketed hash joins
+    (SURVEY §7.3); no property table ever lands on the driver.
+    Both plans produce identical rows (tested).
     """
     import pyarrow.compute as pc
 
     from engine.joins import bucketed_hash_join
+
+    if strategy == "auto":
+        strategy = "broadcast" \
+            if props.count() <= 2 * BROADCAST_MAX_SIDE_ROWS else "join"
+
+    if strategy == "broadcast":
+        def side_df(source: str) -> pd.DataFrame:
+            def pick(b: pa.Table) -> pa.Table:
+                return b.filter(
+                    pc.equal(b.column("source"), pa.scalar(source))) \
+                    .select(["doc_id", *PROPERTY_NAMES])
+            return props.map_batches(pick, batch_format="pyarrow").to_pandas()
+
+        return pair_features_dataset(pairs, side_df("cands"), side_df("index"))
 
     def side(source: str, suffix: str) -> ray.data.Dataset:
         def pick(b: pa.Table) -> pa.Table:

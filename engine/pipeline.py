@@ -136,7 +136,9 @@ def run_flagship(sf_dir: str, n_cands: int | None = None, seed: int = 1,
         tnn, _ = blk.bkafi_nn_dataset(
             train_cands, index_feat_df, features, bkafi_dim,
             concurrency=concurrency)
-        tfeat = pairs.pair_features_join(blk.pairs_from_nn(tnn, k), props)
+        tpairs = blk.pairs_from_nn(tnn, k).select_columns(
+            ["cand_id", "index_id", "label"])
+        tfeat = pairs.pair_features_join(tpairs, props)
         tdf = tfeat.to_pandas().sort_values(
             ["cand_id", "index_id"]).reset_index(drop=True)
         Xb = tdf[RATIO_FEATURE_NAMES].to_numpy(dtype=np.float64)
@@ -200,7 +202,9 @@ def prepare_state(sf_dir: str, n_cands: int | None = None, seed: int = 1,
     train_cands = broadcast_semi_join(cands_all, "doc_id", prep["train_ids"])
     tnn, _ = blk.bkafi_nn_dataset(
         train_cands, index_feat_df, features, bkafi_dim, concurrency=concurrency)
-    tfeat = pairs.pair_features_join(blk.pairs_from_nn(tnn, k), props)
+    tpairs = blk.pairs_from_nn(tnn, k).select_columns(
+        ["cand_id", "index_id", "label"])
+    tfeat = pairs.pair_features_join(tpairs, props)
     tdf = tfeat.to_pandas().sort_values(
         ["cand_id", "index_id"]).reset_index(drop=True)
     matcher = matching.RandomForest(random_state=seed).fit(
@@ -345,7 +349,9 @@ def train_test_features(sf_dir: str, seed: int = 1, bkafi_dim: int = 6,
         cands = broadcast_semi_join(cands_all, "doc_id", ids)
         nn, _ = blk.bkafi_nn_dataset(cands, index_feat_df, features,
                                      bkafi_dim, concurrency=concurrency)
-        fd = pairs.pair_features_join(blk.pairs_from_nn(nn, k), props)
+        fd = pairs.pair_features_join(
+            blk.pairs_from_nn(nn, k).select_columns(
+                ["cand_id", "index_id", "label"]), props)
         return fd.to_pandas().sort_values(
             ["cand_id", "index_id"]).reset_index(drop=True)
 

@@ -479,6 +479,40 @@ def contamination_retrain(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def geo_render(sf_dir: str):
+    """PNG mesh renders (the reference's K5 figure stage, utils.py:134-163 /
+    generate_png_figs.py): per-doc deterministic wireframe PNG via the
+    actor-pool render stage; emits (doc_id, source, png_size, png_crc) —
+    the binary payload itself stays in the pipeline.  Rows-only."""
+    import zlib as _z
+
+    from engine.render import RenderActor, render_doc_png  # noqa: F401
+    from engine.render import render_dataset
+
+    ds = corpus_dataset(sf_dir)
+
+    def meta(b: pa.Table) -> pa.Table:
+        ids, srcs, sizes, crcs = [], [], [], []
+        for d, s, spans in zip(b.column("doc_id").to_pylist(),
+                               b.column("source").to_pylist(),
+                               b.column("spans").to_pylist()):
+            png = render_doc_png(spans)
+            if png is None:
+                continue
+            ids.append(d)
+            srcs.append(s)
+            sizes.append(len(png))
+            crcs.append(_z.crc32(png))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.string()),
+            "source": pa.array(srcs, type=pa.string()),
+            "png_size": pa.array(sizes, type=pa.int64()),
+            "png_crc": pa.array(crcs, type=pa.int64()),
+        })
+
+    return ds.map_batches(meta, batch_format="pyarrow")
+
+
 def text_stats(sf_dir: str):
     return text.text_stats(_docs(sf_dir))
 
@@ -563,6 +597,7 @@ QUERIES = {
     "geo_contamination": geo_contamination,
     "matching_models_eval": matching_models_eval,
     "contamination_retrain": contamination_retrain,
+    "geo_render": geo_render,
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,

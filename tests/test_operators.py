@@ -168,6 +168,33 @@ def test_minhash_lsh_recovers_planted_dups(ray_session):
     assert hit >= 0.95, f"LSH recall {hit}"
 
 
+def test_png_render_valid_and_deterministic(ray_session):
+    """K5 renderer: valid PNG structure (magic + IHDR + zlib-decodable
+    IDAT), deterministic bytes, actor-pool stage end to end."""
+    import struct
+    import zlib
+    from datagen.buildings import doc_spans
+    from engine.render import encode_png_gray, render_dataset, render_doc_png
+    spans = doc_spans(7, "cands")
+    png1 = render_doc_png(spans)
+    png2 = render_doc_png(spans)
+    assert png1 == png2 and png1.startswith(b"\x89PNG\r\n\x1a\n")
+    w, h = struct.unpack(">II", png1[16:24])
+    assert (w, h) == (64, 64)
+    idat_pos = png1.index(b"IDAT")
+    ln = struct.unpack(">I", png1[idat_pos - 4:idat_pos])[0]
+    raw = zlib.decompress(png1[idat_pos + 4:idat_pos + 4 + ln])
+    assert len(raw) == h * (w + 1)  # filter byte + row
+    img = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)[:, 1:]
+    assert (img == 255).sum() > 50  # wireframe actually drawn
+    # actor-pool stage
+    from engine.corpus import corpus_dataset
+    out = render_dataset(
+        corpus_dataset("/root/testdata/sf0.001").limit(20)).to_pandas()
+    assert len(out) == 20
+    assert all(p.startswith(b"\x89PNG") for p in out.png)
+
+
 def test_dedup_skew_bounded_by_df_cutoff(ray_session):
     """One stop-shingle present in 50% of docs must not explode pair-gen:
     with max_df below the stop-shingle's DF the operator completes, skips

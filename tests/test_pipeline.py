@@ -95,6 +95,30 @@ def test_threshold_filter_monotonic(ray_session):
     assert counts[2] <= nn.count()
 
 
+def test_pair_features_plans_agree(ray_session):
+    """The broadcast fast case and the bucketed-join 10^12 path of the pair
+    feature stage produce identical rows."""
+    import pyarrow as pa
+    import ray.data
+    from engine import pairs as P
+    from engine.pipeline import property_table, side_ids
+    props = property_table(SF)
+    cand_ids, index_ids = side_ids(props)
+    matched = sorted(set(cand_ids) & set(index_ids), key=int)[:40]
+    pair_ds = ray.data.from_arrow(pa.table({
+        "cand_id": pa.array(matched + matched, type=pa.string()),
+        "index_id": pa.array(matched + list(reversed(matched)),
+                             type=pa.string()),
+    }))
+    a = P.pair_features_join(pair_ds, props, strategy="broadcast") \
+        .to_pandas().sort_values(["cand_id", "index_id"]).reset_index(drop=True)
+    b = P.pair_features_join(pair_ds, props, strategy="join") \
+        .to_pandas().sort_values(["cand_id", "index_id"]).reset_index(drop=True)
+    assert len(a) == len(b) == 80
+    for c in P.RATIO_FEATURE_NAMES:
+        assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+
+
 def test_flagship_log_transform_quality(ray_session):
     """Quality floor holds under the reference's default log1p property
     normalization (config.py:52) — blocking recall and matching F1."""
