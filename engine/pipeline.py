@@ -239,7 +239,9 @@ def prepare_state(sf_dir: str, n_cands: int | None = None, seed: int = 1,
 
 
 def matching_inference_pipeline(docs: ray.data.Dataset, state: dict,
-                                concurrency: int = 8) -> ray.data.Dataset:
+                                concurrency: int = 8,
+                                num_cpus_per_task: float | None = None
+                                ) -> ray.data.Dataset:
     """The fused apply path: interleaved docs -> parse + 25 properties ->
     kNN blocking -> ratio features -> match classification, in ONE streaming
     execution.  Output: (cand_id, index_id, rank, dist, label, pred) pairs.
@@ -327,7 +329,12 @@ def matching_inference_pipeline(docs: ray.data.Dataset, state: dict,
             "pred": pa.array(pred.astype(np.int8), type=pa.int8()),
         })
 
-    return docs.map_batches(fused, batch_format="pyarrow")
+    kwargs = {}
+    if num_cpus_per_task:
+        # >1.0 leaves breathing room for the object store / raylet at full
+        # width (host-steal mitigation measured on this box)
+        kwargs["num_cpus"] = num_cpus_per_task
+    return docs.map_batches(fused, batch_format="pyarrow", **kwargs)
 
 
 def train_test_features(sf_dir: str, seed: int = 1, bkafi_dim: int = 6,
