@@ -168,7 +168,7 @@ FROM j WHERE rnk <= 21
 # on cands, both sides transformed, top-21 by sum((c_f-i_f)^2) accumulated in
 # feature order f1..f6 = volume, area, height_diff, bbox_width, bbox_length,
 # convex_hull_volume (all exact dyadic closed forms for flat boxes).
-GEO_BLOCK_BKAFI = """
+_BKAFI_CTES = """
 WITH hc AS (
   SELECT doc_id AS k, (doc_id * 2654435761 + 12345) AS hv,
          ((doc_id * 1000003 + 7) % 1000000007) * 1103515245 + 54321 AS h2
@@ -275,9 +275,56 @@ WITH hc AS (
         xs.knum) AS rnk
   FROM cs CROSS JOIN xs
 )
+"""
+
+GEO_BLOCK_BKAFI = _BKAFI_CTES + """
 SELECT CAST(6 AS INTEGER) AS bkafi_dim, cand_id, index_id,
        CAST(rnk AS INTEGER) AS rank, sqrt(d2) AS dist
 FROM j WHERE rnk <= 21
+"""
+
+# percentile threshold sweep over the same exact-f64 flat-subset nn table
+# (bkafi_with_threshold.py:131-141, 232-269): thresholds replicate
+# np.percentile's virtual-index + lerp arithmetic over the matched-pair
+# distances; counts are ints; recall / reduction_ratio are exact divisions.
+GEO_THRESHOLD_SWEEP = _BKAFI_CTES + """
+, nn AS (
+  SELECT cand_id, index_id, sqrt(d2) AS dist FROM j WHERE rnk <= 21
+), md2 AS (SELECT dist FROM nn WHERE cand_id = index_id),
+o2 AS (
+  SELECT dist, row_number() OVER (ORDER BY dist) - 1 AS rn,
+         count(*) OVER () AS n
+  FROM md2
+), qs2 AS (SELECT unnest(generate_series(0, 19)) AS i),
+qv2 AS (
+  SELECT i, CASE WHEN i = 19 THEN 100.0 ELSE i * (100.0 / 19) END AS q
+  FROM qs2
+), vv2 AS (
+  SELECT i, q, (q / 100.0) * (n1 - 1) AS virt, n1
+  FROM qv2 CROSS JOIN (SELECT DISTINCT n AS n1 FROM o2)
+), ab3 AS (
+  SELECT vv2.i, vv2.q, vv2.virt - floor(vv2.virt) AS t,
+         oa.dist AS a, ob.dist AS b
+  FROM vv2
+  JOIN o2 oa ON oa.rn = CAST(floor(vv2.virt) AS BIGINT)
+  JOIN o2 ob ON ob.rn = LEAST(CAST(floor(vv2.virt) AS BIGINT) + 1, vv2.n1 - 1)
+), thr AS (
+  SELECT i, q, CASE WHEN t >= 0.5 THEN b - (b - a) * (1 - t)
+               ELSE a + (b - a) * t END AS threshold
+  FROM ab3
+), sz AS (
+  SELECT (SELECT count(*) FROM cands) AS nc,
+         (SELECT count(*) FROM idx) AS ni,
+         (SELECT count(*) FROM cands c JOIN idx x ON c.id = x.id) AS ninter
+)
+SELECT thr.q AS percentile, thr.threshold,
+       (SELECT count(*) FROM nn WHERE nn.dist <= thr.threshold) AS cand_pairs,
+       CAST((SELECT count(*) FROM nn
+             WHERE nn.cand_id = nn.index_id AND nn.dist <= thr.threshold)
+            AS DOUBLE) / sz.ninter AS recall,
+       1 - CAST((SELECT count(*) FROM nn WHERE nn.dist <= thr.threshold)
+                AS DOUBLE) / (sz.nc * sz.ni) AS reduction_ratio
+FROM thr CROSS JOIN sz
 """
 
 REL_LINEITEM_AGG = """

@@ -213,7 +213,9 @@ def geo_blocking_recall_grid(sf_dir: str):
         "doc_id", prep["test_ids"]).materialize()
     n_inter = len(set(prep["test_ids"]) & set(prep["index_ids"]))
     frames = []
-    for dim in (2, 4, 6, 10):
+    # dims spanning the reference's 1..24 sweep (pipelines.py:381-394);
+    # ks are free (rank-table filters)
+    for dim in (1, 2, 4, 6, 8, 12, 16, 20, 24):
         feats = blk.select_blocking_features(prep["importances"],
                                              prep["ratios"], dim)
         index_df = side_frame(props, "index", ["doc_id", *feats])
@@ -292,26 +294,31 @@ def geo_block_centroid(sf_dir: str):
 def geo_threshold_sweep(sf_dir: str):
     """Percentile threshold sweep over the nn table
     (bkafi_with_threshold.py:131-141, 232-269): for each percentile of the
-    matched-pair train distances, candidate count + recall + reduction ratio.
-    Rows-only."""
+    matched-pair distances, candidate-pair count + recall + reduction ratio.
+
+    Runs the exact-f64 blocker over the flat generative subset so thresholds
+    (np.percentile arithmetic), counts and the exact ratio columns are all
+    checked bit-for-bit by the DuckDB oracle."""
     import pandas as pd
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     from engine import blocking as blk, metrics
-    from engine.pipeline import side_dataset, side_frame, side_ids
     props = _props(sf_dir)
-    cands = side_dataset(props, "cands", ["doc_id", *_FIXED_BLOCK_FEATURES])
-    index_df = side_frame(props, "index", ["doc_id", *_FIXED_BLOCK_FEATURES])
-    nn, _ = blk.bkafi_nn_dataset(cands, index_df, _FIXED_BLOCK_FEATURES, 6)
+    cands = _flat_side(props, "cands", ["doc_id", *_FIXED_BLOCK_FEATURES])
+    index_df = _flat_side(
+        props, "index", ["doc_id", *_FIXED_BLOCK_FEATURES]).to_pandas()
+    nn, _ = blk.bkafi_nn_dataset(cands, index_df, _FIXED_BLOCK_FEATURES, 6,
+                                 exact=True)
     nn = nn.materialize()
     # matched-pair distances: distributed filter, tiny collect
     match_d = nn.map_batches(
         lambda b: b.filter(pc.equal(b.column("cand_id"), b.column("index_id"))),
         batch_format="pyarrow").select_columns(["dist"]).to_pandas()["dist"].to_numpy()
     thr = metrics.percentile_threshold_table(match_d, num_points=20)
-    cand_ids, index_ids = side_ids(props)
-    n_inter = len(set(cand_ids) & set(index_ids))
+    cand_ids = set(cands.select_columns(["doc_id"]).to_pandas().doc_id)
+    index_ids = set(index_df.doc_id)
+    n_inter = len(cand_ids & index_ids)
 
     def sweep_counts(b: pa.Table) -> pa.Table:
         d = b.column("dist").to_numpy()
@@ -336,7 +343,8 @@ def geo_threshold_sweep(sf_dir: str):
             "percentile": float(pct),
             "threshold": float(thr[int(a.ti)]),
             "cand_pairs": int(a.kept),
-            "recall": round(int(a.pos) / n_inter, 3),
+            # exact int ratios (unrounded) so the oracle hash-compares
+            "recall": int(a.pos) / n_inter,
             "reduction_ratio": metrics.reduction_ratio(
                 int(a.kept), len(cand_ids), len(index_ids)),
         })
@@ -623,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_knn_spatial": o.GEO_KNN,
         "geo_block_centroid": o.GEO_BLOCK_CENTROID,
         "geo_block_bkafi": o.GEO_BLOCK_BKAFI,
+        "geo_threshold_sweep": o.GEO_THRESHOLD_SWEEP,
         "q_lineitem_agg": o.REL_LINEITEM_AGG,
         "q_orders_by_nation": o.REL_ORDERS_BY_NATION,
         "q_top_orders": o.REL_TOP_ORDERS,
