@@ -63,7 +63,8 @@ def run_bench() -> dict:
     # first execution pays worker-process warmup (3 trials in scaling mode,
     # where the jitter directly moves the efficiency ratio).
     docs = corpus_dataset(sf_dir, n_cands, num_blocks=192)
-    n_trials = 3 if os.environ.get("BENCH_FAST") == "1" else 2
+    n_trials = int(os.environ.get(
+        "BENCH_TRIALS", "3" if os.environ.get("BENCH_FAST") == "1" else "2"))
     trials = []
     for _ in range(n_trials):
         t0 = time.time()
@@ -122,6 +123,7 @@ def _scaling_pair(lo: int, hi: int, n_cands: int | None = None) -> dict:
                    BENCH_CACHE_STATE="1")
         if n_cands:
             env["GEO_BENCH_CANDS"] = str(n_cands)
+            env.setdefault("BENCH_TRIALS", "2")  # keep the small pair short
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env, capture_output=True, text=True, check=True)
         out[ncpu] = json.loads(r.stdout.strip().splitlines()[-1])

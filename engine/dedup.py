@@ -80,6 +80,8 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
     bounds every group; pairs connected ONLY through dropped stop-shingles
     are not generated (documented approximation; raise max_df to disable).
     """
+    NUM_BUCKETS = 64
+
     def explode(batch: pa.Table) -> pa.Table:
         ids, shs = [], []
         for d, t in zip(batch.column("doc_id").to_pylist(),
@@ -87,21 +89,33 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
             for s in _shingles(t, n):
                 ids.append(d)
                 shs.append(s)
-        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
-                         "shingle": pa.array(shs)})
+        from engine.joins import fast_hash64
+        t_ = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                       "shingle": pa.array(shs)})
+        # coarse shuffle bucket (all rows of one shingle share a bucket);
+        # per-SHINGLE map_groups would pay ~1 ms of per-group overhead on
+        # tens of thousands of near-singleton groups
+        return t_.append_column("__b", pa.array(
+            (fast_hash64(shs) % NUM_BUCKETS).astype(np.int64)))
 
     exploded = docs.map_batches(explode, batch_format="pyarrow")
 
-    def pairs_in_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2 or len(ids) > max_df:  # DF cutoff bounds the group
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized pair generation for every shingle in the bucket: DF
+        filter (2..max_df) then one self-merge on the shingle key."""
+        df = g.groupby("shingle")["doc_id"].transform("size")
+        g = g[(df >= 2) & (df <= max_df)][["doc_id", "shingle"]]
+        if g.empty:
             return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
                                  "b_id": pd.Series([], dtype="int64")})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a_id": ids[a], "b_id": ids[b]})
+        m = g.merge(g, on="shingle")
+        m = m[m.doc_id_x < m.doc_id_y]
+        m = m.drop_duplicates(["doc_id_x", "doc_id_y"])
+        return pd.DataFrame({"a_id": m.doc_id_x.to_numpy(),
+                             "b_id": m.doc_id_y.to_numpy()})
 
-    cand = exploded.groupby("shingle").map_groups(
-        pairs_in_group, batch_format="pandas")
+    cand = exploded.groupby("__b").map_groups(
+        pairs_in_bucket, batch_format="pandas")
     return _verify_pairs_join(docs, _distinct_pairs(cand), n, threshold)
 
 
@@ -244,6 +258,8 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, num_perm: int = 64,
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, num_perm, n)
 
+    NUM_BUCKETS = 64
+
     def band_explode(batch: pa.Table) -> pa.Table:
         ids, band_ids, band_hashes = [], [], []
         for d, s in zip(batch.column("doc_id").to_pylist(),
@@ -254,20 +270,31 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, num_perm: int = 64,
                 ids.append(d)
                 band_ids.append(bi)
                 band_hashes.append(hashlib.md5(chunk.tobytes()).hexdigest())
-        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
-                         "band": pa.array(band_ids, type=pa.int32()),
-                         "bh": pa.array(band_hashes)})
+        from engine.joins import fast_hash64
+        t_ = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                       "band": pa.array(band_ids, type=pa.int32()),
+                       "bh": pa.array(band_hashes)})
+        # coarse shuffle bucket (all rows of one LSH bucket co-locate)
+        return t_.append_column("__b", pa.array(
+            (fast_hash64(band_hashes) % NUM_BUCKETS).astype(np.int64)))
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2 or len(ids) > max_bucket:  # stop-bucket removal
+    def pairs_in_shuffle_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized pair generation for every (band, bh) bucket in the
+        shuffle group: stop-bucket removal then one self-merge."""
+        sz = g.groupby(["band", "bh"])["doc_id"].transform("size")
+        g = g[(sz >= 2) & (sz <= max_bucket)][["doc_id", "band", "bh"]]
+        if g.empty:
             return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
                                  "b_id": pd.Series([], dtype="int64")})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a_id": ids[a], "b_id": ids[b]})
+        m = g.merge(g, on=["band", "bh"])
+        m = m[m.doc_id_x < m.doc_id_y]
+        m = m.drop_duplicates(["doc_id_x", "doc_id_y"])
+        return pd.DataFrame({"a_id": m.doc_id_x.to_numpy(),
+                             "b_id": m.doc_id_y.to_numpy()})
 
     cand = sigs.map_batches(band_explode, batch_format="pyarrow") \
-        .groupby(["band", "bh"]).map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("__b").map_groups(pairs_in_shuffle_bucket,
+                                   batch_format="pandas")
     return _verify_pairs_join(docs, _distinct_pairs(cand), n, threshold,
                               pad=True)
 
