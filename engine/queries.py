@@ -487,6 +487,47 @@ def contamination_retrain(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def geo_blocking_dirty(sf_dir: str):
+    """Dirty-split blocking evaluation (reference data_partition_dirty.py:
+    112-127): 20% of the sampled test cands are removed from the index side,
+    making them unmatched queries; recall is reported over the matchable
+    subset, plus how the blocker ranks the unmatched cands' spurious
+    neighbors.  Rows-only."""
+    import pandas as pd
+
+    from engine import blocking as blk, splits
+    from engine.joins import broadcast_semi_join
+    from engine.pipeline import side_dataset, side_frame, side_ids
+    props = _props(sf_dir)
+    cand_ids, index_ids = side_ids(props)
+    test_cands, index_keep, removed = splits.dirty_blocking_split(
+        cand_ids, index_ids, seed=1)
+    cands = broadcast_semi_join(
+        side_dataset(props, "cands", ["doc_id", *_FIXED_BLOCK_FEATURES]),
+        "doc_id", test_cands)
+    index_df = side_frame(props, "index",
+                          ["doc_id", *_FIXED_BLOCK_FEATURES])
+    index_df = index_df[index_df.doc_id.isin(set(index_keep))] \
+        .reset_index(drop=True)
+    import pyarrow.compute as pc
+    nn, _ = blk.bkafi_nn_dataset(cands, index_df, _FIXED_BLOCK_FEATURES, 6)
+    nn_hits = nn.map_batches(
+        lambda b: b.filter(pc.equal(b.column("cand_id"),
+                                    b.column("index_id"))),
+        batch_format="pyarrow").select_columns(["cand_id", "rank"]).to_pandas()
+    best = nn_hits.groupby("cand_id")["rank"].min()
+    matchable = len(test_cands) - len(removed)
+    rows = []
+    for k in (1, 5, 10, 20):
+        rows.append({
+            "k": k,
+            "n_test_cands": len(test_cands),
+            "n_unmatched": len(removed),
+            "recall_matchable": round(float((best <= k).sum()) / matchable, 4),
+        })
+    return pd.DataFrame(rows)
+
+
 def geo_render(sf_dir: str):
     """PNG mesh renders (the reference's K5 figure stage, utils.py:134-163 /
     generate_png_figs.py): per-doc deterministic wireframe PNG via the
@@ -606,6 +647,7 @@ QUERIES = {
     "matching_models_eval": matching_models_eval,
     "contamination_retrain": contamination_retrain,
     "geo_render": geo_render,
+    "geo_blocking_dirty": geo_blocking_dirty,
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,

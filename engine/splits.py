@@ -34,6 +34,29 @@ def train_test_ids(intersection_ids: list[str], seed: int,
     return ids[mask].tolist(), ids[~mask].tolist()
 
 
+def dirty_blocking_split(cand_ids, index_ids, seed: int,
+                         ratio: float = 0.6, non_matched_rat: float = 0.2):
+    """The reference's DIRTY blocking split (data_partition_dirty.py:112-127):
+    sample test cands from cands∩index, then REMOVE ``non_matched_rat`` of
+    them from the index side — those cands become unmatched ('dirty')
+    queries with no true entity in the index, so blocking recall must be
+    evaluated over the matchable subset and the matcher sees true
+    out-of-index entities.  Deterministic hash-bucket sampling replaces the
+    reference's np.random.choice.
+
+    Returns (test_cand_ids, index_keep_ids, removed_ids).
+    """
+    inter = sorted(set(cand_ids) & set(index_ids), key=int)
+    take = stable_hash64([f"{d}|dirty|{seed}" for d in inter]) % 100 \
+        < int(ratio * 100)
+    test_cands = [d for d, t in zip(inter, take) if t]
+    rm = stable_hash64([f"{d}|rm|{seed}" for d in test_cands]) % 100 \
+        < int(non_matched_rat * 100)
+    removed = {d for d, r in zip(test_cands, rm) if r}
+    index_keep = [d for d in index_ids if d not in removed]
+    return test_cands, index_keep, sorted(removed, key=int)
+
+
 def negative_sample_pairs(cand_ids: ray.data.Dataset | list,
                           index_ids: list[str], neg_num: int,
                           seed: int) -> ray.data.Dataset:

@@ -95,6 +95,26 @@ def test_threshold_filter_monotonic(ray_session):
     assert counts[2] <= nn.count()
 
 
+def test_dirty_split_semantics(ray_session):
+    """Dirty blocking split (data_partition_dirty.py analogue): removed
+    cands have no true entity in the index side; recall over the matchable
+    subset stays high; the removal fraction is about non_matched_rat."""
+    from engine import splits
+    from engine.pipeline import property_table, side_ids
+    from engine.queries import geo_blocking_dirty
+    props = property_table(SF)
+    cand_ids, index_ids = side_ids(props)
+    test_cands, index_keep, removed = splits.dirty_blocking_split(
+        cand_ids, index_ids, seed=1)
+    assert set(removed) <= set(test_cands)
+    assert not (set(removed) & set(index_keep))
+    frac = len(removed) / len(test_cands)
+    assert 0.1 <= frac <= 0.3
+    df = geo_blocking_dirty(SF)
+    assert (df.n_unmatched == len(removed)).all()
+    assert df[df.k == 5].recall_matchable.iloc[0] >= 0.95
+
+
 def test_pair_features_plans_agree(ray_session):
     """The broadcast fast case and the bucketed-join 10^12 path of the pair
     feature stage produce identical rows."""
