@@ -31,6 +31,9 @@ from engine.pairs import RATIO_FEATURE_NAMES, ratio_features
 from engine.properties import _props_batch, properties_dataset
 
 
+STATE_VERSION = "r2"  # bump when prepare-state semantics change
+
+
 def property_table(sf_dir: str, n_cands: int | None = None,
                    log_transform: bool = False) -> ray.data.Dataset:
     """docs -> materialized property Dataset (stays distributed; nothing is
@@ -186,7 +189,9 @@ def prepare_state(sf_dir: str, n_cands: int | None = None, seed: int = 1,
     import pickle
     cache_path = None
     if cache:
-        tag = (f"{os.path.basename(os.path.normpath(sf_dir))}_n{n_cands}"
+        # STATE_VERSION invalidates caches across engine-semantics changes
+        tag = (f"{STATE_VERSION}_{os.path.basename(os.path.normpath(sf_dir))}"
+               f"_n{n_cands}"
                f"_s{seed}_d{bkafi_dim}_k{k}_g{neg_num}_l{int(log_transform)}")
         cache_path = f"/tmp/ray_geo_state/{tag}.pkl"
         if os.path.exists(cache_path):
