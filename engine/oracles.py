@@ -355,6 +355,12 @@ SELECT event_type, epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n,
 FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
 """
 
+REL_EVENTS_SLIDING = """
+SELECT event_type, (epoch_us(ts) // 900000000) - j AS win, COUNT(*) AS n
+FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
+GROUP BY event_type, (epoch_us(ts) // 900000000) - j
+"""
+
 REL_CUSTOMERS_WITH_ORDERS = """
 SELECT c_custkey, c_name, c_acctbal FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)

@@ -271,6 +271,10 @@ def q_part_brand_agg(sf_dir: str):
     return relational.supplier_part_join(sf_dir)
 
 
+def q_events_sliding(sf_dir: str):
+    return relational.events_sliding(sf_dir)
+
+
 def q_events_running(sf_dir: str):
     return relational.events_running(sf_dir)
 
@@ -637,6 +641,7 @@ QUERIES = {
     "q_customers_with_orders": q_customers_with_orders,
     "q_customers_without_orders": q_customers_without_orders,
     "q_part_brand_agg": q_part_brand_agg,
+    "q_events_sliding": q_events_sliding,
     "q_events_running": q_events_running,
     "q_events_asof": q_events_asof,
     "geo_block_centroid": geo_block_centroid,
@@ -681,6 +686,7 @@ def oracle_sql() -> dict[str, str]:
         "q_customers_with_orders": o.REL_CUSTOMERS_WITH_ORDERS,
         "q_customers_without_orders": o.REL_CUSTOMERS_WITHOUT_ORDERS,
         "q_part_brand_agg": o.REL_PART_BRAND_AGG,
+        "q_events_sliding": o.REL_EVENTS_SLIDING,
         "q_events_running": o.REL_EVENTS_RUNNING,
         "q_events_asof": o.REL_EVENTS_ASOF,
         "text_stats": o.TEXT_STATS,

@@ -88,6 +88,27 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
         )
 
 
+def events_sliding(sf_dir: str) -> ray.data.Dataset:
+    """Sliding 1h windows advancing every 15min, per event_type: each event
+    contributes to exactly 4 windows (flat explode + one vectorized Count
+    groupby — the engine's sliding-window recipe; window id = start slot in
+    15-min units).  All-integer, SQL-exact."""
+    from ray.data.aggregate import Count
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy()
+        slot = us // 900_000_000  # 15-min slot holding the event
+        # windows starting at slots slot-3 .. slot cover the event
+        win = (slot[:, None] - np.arange(3, -1, -1)[None, :]).ravel()
+        out = b.select(["event_type"]).take(
+            pa.array(np.repeat(np.arange(b.num_rows), 4)))
+        return out.append_column("win", pa.array(win, type=pa.int64()))
+
+    return ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["event_type", "win"]).aggregate(Count(alias_name="n"))
+
+
 def customers_with_orders(sf_dir: str, anti: bool = False,
                           min_total: float = 450000.0) -> ray.data.Dataset:
     """Semi (or anti) join: customers having (no) high-value orders
