@@ -322,6 +322,7 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, num_perm: int = 64,
     sigs = minhash_signatures(docs, num_perm, n)
 
     NUM_BUCKETS = 64
+    from engine.joins import fast_hash64  # hoisted: workers can't import late
 
     def band_explode(batch: pa.Table) -> pa.Table:
         ids, band_ids, band_hashes = [], [], []
@@ -333,7 +334,6 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, num_perm: int = 64,
                 ids.append(d)
                 band_ids.append(bi)
                 band_hashes.append(hashlib.md5(chunk.tobytes()).hexdigest())
-        from engine.joins import fast_hash64
         t_ = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
                        "band": pa.array(band_ids, type=pa.int32()),
                        "bh": pa.array(band_hashes)})
