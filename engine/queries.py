@@ -617,6 +617,15 @@ def sim_knn_lsh(sf_dir: str):
     return similarity.lsh_knn(emb, query_ids=list(range(20)), k=10)
 
 
+def sim_knn_ivf(sf_dir: str):
+    """IVF-bucketed approximate kNN (faiss IndexIVFFlat analogue: coarse
+    k-means quantizer + probe-limited scan).  Rows-only; recall vs brute
+    asserted in tests."""
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+    return similarity.ivf_knn(emb, query_ids=list(range(20)), k=10)
+
+
 def multimodal_features(sf_dir: str):
     from engine.multimodal import media_features
     return media_features(corpus_dataset(sf_dir))
@@ -663,6 +672,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "sim_knn_cosine": sim_knn_cosine,
     "sim_knn_lsh": sim_knn_lsh,
+    "sim_knn_ivf": sim_knn_ivf,
     "multimodal_features": multimodal_features,
 }
 
