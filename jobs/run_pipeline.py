@@ -53,11 +53,13 @@ def main():
                             n_cands=args.n_cands, bkafi_dim=args.bkafi_dim,
                             k=args.k, concurrency=max(2, args.num_cpus - 2))
     ev.to_csv(os.path.join(args.out, "metrics_seed_avg.csv"), index=False)
+    means = ev[ev.seed == -1].set_index("normalization")
     summary = {
         "wall_s": round(time.time() - t0, 1),
-        "mean_f1": float(ev[ev.seed == -1].f1.iloc[0]),
-        "mean_recall_at_1": float(ev[ev.seed == -1]
-                                  [f"blocking_recall_at_1"].iloc[0]),
+        # one mean row per normalization mode (raw + log_transform)
+        "mean_f1": {n: float(r.f1) for n, r in means.iterrows()},
+        "mean_recall_at_1": {n: float(r["blocking_recall_at_1"])
+                             for n, r in means.iterrows()},
         "out": args.out,
     }
     with open(os.path.join(args.out, "summary.json"), "w") as f:
