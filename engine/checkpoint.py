@@ -102,3 +102,75 @@ def run_stage(root: str, stage: str, build_fn, lineage: dict | None = None,
 
 def read_manifest(root: str, stage: str) -> dict:
     return json.load(open(manifest_path(root, stage)))
+
+
+def _part_valid(pdir: str, entry: dict) -> bool:
+    for f in entry.get("files", []):
+        p = os.path.join(pdir, f["file"])
+        if not os.path.exists(p) or os.path.getsize(p) != f["bytes"]:
+            return False
+    return True
+
+
+def run_stage_partitioned(root: str, stage: str, part_keys: list[str],
+                          build_part_fn, lineage: dict | None = None,
+                          force: bool = False) -> ray.data.Dataset:
+    """Partition-grained resume: each input shard / key range is its own
+    atomic unit under ``<stage>/parts/<key>/`` with a manifest entry (rows,
+    bytes, sha, wall seconds, lineage).  The manifest is rewritten after
+    EVERY completed partition, so a killed run re-executes ONLY the
+    partitions whose entry is missing or fails validation — the north
+    rule's "skip finished partitions" semantics, one level finer than
+    ``run_stage``'s whole-stage atomicity.
+
+    ``build_part_fn(key) -> Dataset`` produces one partition's rows.
+    Returns the union Dataset over all partition directories.
+    """
+    import pyarrow.parquet as pq
+    stage_dir = os.path.join(root, stage)
+    parts_root = os.path.join(stage_dir, "parts")
+    os.makedirs(parts_root, exist_ok=True)
+    mp = manifest_path(root, stage)
+    manifest = {"stage": stage, "mode": "partitioned",
+                "lineage": lineage or {}, "partitions": {}}
+    if os.path.exists(mp) and not force:
+        try:
+            manifest = json.load(open(mp))
+        except Exception:
+            pass
+    done = manifest.setdefault("partitions", {})
+
+    for key in part_keys:
+        pdir = os.path.join(parts_root, str(key))
+        if not force and key in done and _part_valid(pdir, done[key]):
+            continue
+        tmp = pdir + ".tmp"
+        for d in (tmp, pdir):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        t0 = time.time()
+        build_part_fn(key).write_parquet(tmp)
+        files = []
+        for fn in sorted(os.listdir(tmp)):
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(tmp, fn)
+            files.append({"file": fn,
+                          "rows": pq.ParquetFile(p).metadata.num_rows,
+                          "bytes": os.path.getsize(p),
+                          "sha256_1mb": _file_sha(p)})
+        os.rename(tmp, pdir)
+        done[key] = {"files": files, "wall_s": round(time.time() - t0, 3),
+                     "rows": sum(f["rows"] for f in files),
+                     "created_unix": time.time()}
+        # persist progress after every partition (kill-safe)
+        with open(mp + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(mp + ".tmp", mp)
+
+    files = []
+    for k in part_keys:
+        pdir = os.path.join(parts_root, str(k))
+        files += [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
+                  if f.endswith(".parquet")]
+    return ray.data.read_parquet(files)

@@ -77,6 +77,47 @@ def test_checkpoint_resume_byte_identical(ray_session, tmp_path):
     assert (t1["volume"].to_numpy() == t0["volume"].to_numpy()).all()
 
 
+def test_partitioned_resume_skips_finished(ray_session, tmp_path):
+    """Partition-grained resume: a killed run (simulated by deleting two
+    partition dirs) recomputes ONLY the missing partitions; total content
+    is unchanged."""
+    import pyarrow as pa
+    import ray.data
+    import shutil
+    from engine.checkpoint import read_manifest, run_stage_partitioned
+
+    calls = []
+
+    def build(key):
+        calls.append(key)
+        base = int(key[1:]) * 100
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(base, base + 50), type=pa.int64()),
+            "part": pa.array([key] * 50)}))
+
+    root = str(tmp_path)
+    keys = ["p0", "p1", "p2", "p3"]
+    d1 = run_stage_partitioned(root, "sharded", keys, build,
+                               lineage={"demo": True})
+    a = d1.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(a) == 200 and sorted(calls) == keys
+    # resume with nothing missing: zero rebuilds
+    calls.clear()
+    d2 = run_stage_partitioned(root, "sharded", keys, build)
+    assert d2.count() == 200 and calls == []
+    # kill simulation: two partitions lost
+    for k in ("p1", "p3"):
+        shutil.rmtree(f"{root}/sharded/parts/{k}")
+    calls.clear()
+    d3 = run_stage_partitioned(root, "sharded", keys, build)
+    assert sorted(calls) == ["p1", "p3"]  # only the missing ones rebuilt
+    b = d3.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    m = read_manifest(root, "sharded")
+    assert set(m["partitions"]) == set(keys)
+    assert all(e["rows"] == 50 for e in m["partitions"].values())
+
+
 def test_threshold_filter_monotonic(ray_session):
     """bkafi_with_threshold semantics: shrinking threshold shrinks the nn
     table monotonically (M13/T12)."""
