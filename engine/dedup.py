@@ -382,6 +382,83 @@ def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(sim, batch_format="pyarrow")
 
 
+def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
+                  bands: int = 4, max_bucket: int = 2000) -> ray.data.Dataset:
+    """SimHash near-dup pairs: banded exact-match blocking + popcount verify.
+
+    The 64-bit signature splits into ``bands`` equal slices; by pigeonhole
+    any pair within hamming distance <= bands-1 matches exactly on at least
+    one slice, so the banded groupby is LOSSLESS for ``max_hamming <=
+    bands - 1`` (the default).  Verification joins each side's signature
+    back via the bucketed hash join and filters on vectorized popcount of
+    the XOR.  Emits (a_id, b_id, hamming), a_id < b_id."""
+    from engine.joins import bucketed_hash_join, fast_hash64
+
+    assert max_hamming <= bands - 1, "banded blocking lossless only there"
+    sigs = simhash_signatures(docs).materialize()
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    NUM_BUCKETS = 64
+
+    def band_explode(b: pa.Table) -> pa.Table:
+        h = b.column("simhash").to_numpy()
+        ids = b.column("doc_id").to_numpy()
+        shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(width))
+        vals = (h[:, None] >> shifts[None, :]) & mask
+        band_idx = np.tile(np.arange(bands, dtype=np.int32), len(ids))
+        t_ = pa.table({
+            "doc_id": pa.array(np.repeat(ids, bands), type=pa.int64()),
+            "band": pa.array(band_idx),
+            "bv": pa.array(vals.ravel().astype(np.int64)),
+        })
+        key = band_idx.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) \
+            ^ vals.ravel()
+        return t_.append_column("__b", pa.array(
+            (key % NUM_BUCKETS).astype(np.int64)))
+
+    def pairs_in_shuffle_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby(["band", "bv"])["doc_id"].transform("size")
+        g = g[(sz >= 2) & (sz <= max_bucket)][["doc_id", "band", "bv"]]
+        if g.empty:
+            return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                                 "b_id": pd.Series([], dtype="int64")})
+        m = g.merge(g, on=["band", "bv"])
+        m = m[m.doc_id_x < m.doc_id_y].drop_duplicates(["doc_id_x", "doc_id_y"])
+        return pd.DataFrame({"a_id": m.doc_id_x.to_numpy(),
+                             "b_id": m.doc_id_y.to_numpy()})
+
+    cand = sigs.map_batches(band_explode, batch_format="pyarrow") \
+        .groupby("__b").map_groups(pairs_in_shuffle_bucket,
+                                   batch_format="pandas")
+    dd = _distinct_pairs(cand).materialize()
+
+    def sig_side(prefix: str) -> ray.data.Dataset:
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({f"{prefix}_doc": b.column("doc_id"),
+                             f"{prefix}_sig": b.column("simhash")})
+        return sigs.map_batches(f, batch_format="pyarrow")
+
+    j = bucketed_hash_join(dd, sig_side("a"),
+                           "a_id", "a_doc").drop_columns(["a_doc"])
+    j = bucketed_hash_join(j, sig_side("b"),
+                           "b_id", "b_doc").drop_columns(["b_doc"])
+
+    def verify(b: pa.Table) -> pa.Table:
+        xa = b.column("a_sig").to_numpy().astype(np.uint64)
+        xb = b.column("b_sig").to_numpy().astype(np.uint64)
+        x = (xa ^ xb).view(np.uint8).reshape(-1, 8)
+        ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int32)
+        t = pa.table({
+            "a_id": b.column("a_id").cast(pa.int64()),
+            "b_id": b.column("b_id").cast(pa.int64()),
+            "hamming": pa.array(ham),
+        })
+        return t.filter(pc.less_equal(t.column("hamming"),
+                                      pa.scalar(max_hamming, type=pa.int32())))
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
 def planted_neardup_embeddings(emb: ray.data.Dataset) -> ray.data.Dataset:
     """embeddings ∪ jittered copies of every vec_id % 5 == 0 at
     vec_id+100000 (deterministic ~1% perturbation -> cosine ≈ 0.999), so the

@@ -596,6 +596,13 @@ def dedup_simhash(sf_dir: str):
     return dedup.simhash_signatures(dedup.planted_dup_corpus(_docs(sf_dir)))
 
 
+def dedup_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs: banded blocking (pigeonhole-lossless for
+    hamming <= 3) + popcount verify over the planted-dup corpus.
+    Rows-only."""
+    return dedup.simhash_pairs(dedup.planted_dup_corpus(_docs(sf_dir)))
+
+
 def dedup_embedding(sf_dir: str):
     """Embedding near-dup over a corpus with planted jittered copies
     (cosine ~0.999); natural pairs are near-orthogonal.  Rows-only."""
@@ -669,6 +676,7 @@ QUERIES = {
     "dedup_ngram": dedup_ngram,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding": dedup_embedding,
     "sim_knn_cosine": sim_knn_cosine,
     "sim_knn_lsh": sim_knn_lsh,

@@ -195,6 +195,50 @@ def test_png_render_valid_and_deterministic(ray_session):
     assert all(p.startswith(b"\x89PNG") for p in out.png)
 
 
+def test_simhash_pairs_finds_planted_and_respects_bound(ray_session):
+    from engine.dedup import planted_dup_corpus, simhash_pairs
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = simhash_pairs(planted_dup_corpus(docs)).to_pandas()
+    planted = {(i, i + 100000) for i in range(0, 500, 7)}
+    found = set(zip(out.a_id, out.b_id))
+    assert len(planted & found) == len(planted)  # identical text -> ham 0
+    assert (out.hamming <= 3).all()
+    exact = out[[tuple(p) in planted for p in zip(out.a_id, out.b_id)]]
+    assert (exact.hamming == 0).all()
+
+
+def test_ngram_prefix_filter_lossless_vs_bruteforce(ray_session):
+    """Prefix filtering must be LOSSLESS for J >= t: on random small-vocab
+    corpora (heavy shingle sharing), the operator's output equals the exact
+    all-pairs Jaccard computation."""
+    import pyarrow as pa
+    from engine.dedup import _shingles, ngram_jaccard_pairs
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> many shared shingles
+    for trial in range(3):
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(6, 14)))
+                 for _ in range(60)]
+        texts += texts[:5]  # planted exact dups
+        docs = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts)})).repartition(3)
+        got = ngram_jaccard_pairs(docs, threshold=0.6).to_pandas()
+        got_pairs = set(zip(got.a_id, got.b_id)) if len(got) else set()
+        # brute force
+        sets_ = [_shingles(t, 3) for t in texts]
+        want = set()
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                sa, sb = sets_[i], sets_[j]
+                if not sa or not sb:
+                    continue
+                inter = len(sa & sb)
+                if inter / (len(sa) + len(sb) - inter) >= 0.6:
+                    want.add((i, j))
+        assert got_pairs == want, (trial, got_pairs ^ want)
+
+
 def test_dedup_skew_bounded_by_df_cutoff(ray_session):
     """One stop-shingle present in 50% of docs must not explode pair-gen:
     with max_df below the stop-shingle's DF the operator completes, skips
