@@ -491,6 +491,70 @@ def contamination_retrain(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def geo_blocking_recall_std(sf_dir: str):
+    """Blocking recall under the 'std' bkafi criterion (blocking keys =
+    properties with LOWEST train ratio std, reference blocking.py:136-138 /
+    classifier.py:224-233) side by side with the default
+    feature-importance keys.  Rows-only."""
+    import pandas as pd
+
+    from engine import blocking as blk, metrics
+    from engine.joins import broadcast_semi_join
+    from engine.pipeline import (prep_train, property_table, side_dataset,
+                                 side_frame)
+    props = property_table(sf_dir)
+    prep = prep_train(props, seed=1)
+    cands = broadcast_semi_join(
+        side_dataset(props, "cands", ["doc_id", *PROPERTY_NAMES]),
+        "doc_id", prep["test_ids"]).materialize()
+    n_inter = len(set(prep["test_ids"]) & set(prep["index_ids"]))
+    frames = []
+    for crit in ("feature_importance", "std"):
+        feats = blk.select_blocking_features(
+            prep["importances"], prep["ratios"], 6, criterion=crit)
+        index_df = side_frame(props, "index", ["doc_id", *feats])
+        nn, _ = blk.bkafi_nn_dataset(cands, index_df, feats, 6, concurrency=4)
+        rec = metrics.blocking_recall(nn.materialize(), n_inter,
+                                      ks=[1, 5, 10, 20])
+        rec.insert(0, "criterion", crit)
+        frames.append(rec)
+    return pd.concat(frames, ignore_index=True)
+
+
+def geo_match_concat(sf_dir: str):
+    """End-to-end matching with the CONCATENATION pair-feature variant
+    (reference process_pairs.py:30-40: [cand props..., index props...]
+    instead of ratios): train + score on concatenated features over the
+    blocking-based pairs.  Rows-only."""
+    import pandas as pd
+
+    from engine.matching import RandomForest, f1_binary
+    from engine.pairs import concatenation_features_dataset
+    from engine.pipeline import side_frame
+    tr, te, _ = _ttf(sf_dir)
+    props = _props(sf_dir)
+    cand_df = side_frame(props, "cands", ["doc_id", *PROPERTY_NAMES])
+    index_df = side_frame(props, "index", ["doc_id", *PROPERTY_NAMES])
+    cols = [f"{p}_cand" for p in PROPERTY_NAMES] + \
+        [f"{p}_index" for p in PROPERTY_NAMES]
+
+    def concat_feats(pairs_df):
+        ds = ray.data.from_pandas(
+            pairs_df[["cand_id", "index_id", "label"]]).repartition(8)
+        out = concatenation_features_dataset(ds, cand_df, index_df)
+        return out.to_pandas().sort_values(
+            ["cand_id", "index_id"]).reset_index(drop=True)
+
+    trc, tec = concat_feats(tr), concat_feats(te)
+    model = RandomForest(random_state=1).fit(
+        trc[cols].to_numpy(dtype=np.float64),
+        trc["label"].to_numpy(dtype=np.int8))
+    pred = model.predict(tec[cols].to_numpy(dtype=np.float64))
+    tec = tec[["cand_id", "index_id", "label"]].copy()
+    tec["pred"] = pred.astype(np.int8)
+    return tec
+
+
 def geo_blocking_dirty(sf_dir: str):
     """Dirty-split blocking evaluation (reference data_partition_dirty.py:
     112-127): 20% of the sampled test cands are removed from the index side,
@@ -669,6 +733,8 @@ QUERIES = {
     "contamination_retrain": contamination_retrain,
     "geo_render": geo_render,
     "geo_blocking_dirty": geo_blocking_dirty,
+    "geo_blocking_recall_std": geo_blocking_recall_std,
+    "geo_match_concat": geo_match_concat,
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,

@@ -59,6 +59,39 @@ def test_models_eval_best_at_least_rf(models_eval):
     assert (df.train_sec > 0).all() and (df.inference_sec >= 0).all()
 
 
+def test_concat_variant_runs_and_ratios_beat_it(ray_session):
+    """The concatenation pair-feature variant (process_pairs.py:30-40) runs
+    end to end; the RATIO features dominate it — the reference's stated
+    motivation for the division operator (scale-invariant pair evidence vs
+    absolute per-side values axis-aligned trees struggle with)."""
+    import numpy as np
+    from engine.matching import RandomForest, f1_binary
+    from engine.pairs import RATIO_FEATURE_NAMES
+    from engine.queries import _ttf, geo_match_concat
+    df = geo_match_concat(SF)
+    assert ((df.cand_id == df.index_id) == (df.label == 1)).all()
+    concat_f1, _, _ = f1_binary(df.label.to_numpy(), df.pred.to_numpy())
+    tr, te, _ = _ttf(SF)
+    m = RandomForest(random_state=1).fit(
+        tr[RATIO_FEATURE_NAMES].to_numpy(dtype=np.float64),
+        tr["label"].to_numpy(dtype=np.int8))
+    ratio_f1, _, _ = f1_binary(
+        te["label"].to_numpy(dtype=np.int8),
+        m.predict(te[RATIO_FEATURE_NAMES].to_numpy(dtype=np.float64)))
+    assert ratio_f1 >= 0.9
+    assert ratio_f1 > concat_f1
+
+
+def test_blocking_recall_std_criterion(ray_session):
+    """'std' criterion keys also block well on the planted corpus
+    (blocking.py:136-138 semantics: lowest-ratio-std properties)."""
+    from engine.queries import geo_blocking_recall_std
+    df = geo_blocking_recall_std(SF)
+    for crit in ("feature_importance", "std"):
+        r5 = df[(df.criterion == crit) & (df.k == 5)].blocking_recall.iloc[0]
+        assert r5 >= 0.95, (crit, r5)
+
+
 def test_contamination_retrain_degrades_or_holds(ray_session):
     from engine.queries import contamination_retrain
     df = contamination_retrain(SF)
