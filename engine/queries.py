@@ -204,10 +204,8 @@ def geo_blocking_recall_grid(sf_dir: str):
     from engine import blocking as blk, metrics
     from engine.geometry import PROPERTY_NAMES
     from engine.joins import broadcast_semi_join
-    from engine.pipeline import (prep_train, property_table, side_dataset,
-                                 side_frame)
-    props = property_table(sf_dir)
-    prep = prep_train(props, seed=1)
+    from engine.pipeline import side_dataset, side_frame
+    props, prep = _prep(sf_dir)
     cands = broadcast_semi_join(
         side_dataset(props, "cands", ["doc_id", *PROPERTY_NAMES]),
         "doc_id", prep["test_ids"]).materialize()
@@ -408,6 +406,19 @@ def geo_contamination(sf_dir: str):
         ["cand_id", "index_id", "label", "pred", "contaminated"])
 
 
+_PREP_CACHE: dict[str, tuple] = {}
+
+
+def _prep(sf_dir: str):
+    """(props, prep) memoized per sf — several evaluation queries share one
+    preparatory training pass instead of refitting."""
+    if sf_dir not in _PREP_CACHE:
+        from engine.pipeline import prep_train, property_table
+        props = property_table(sf_dir)
+        _PREP_CACHE[sf_dir] = (props, prep_train(props, seed=1))
+    return _PREP_CACHE[sf_dir]
+
+
 _TTF_CACHE: dict[str, tuple] = {}
 
 
@@ -500,10 +511,8 @@ def geo_blocking_recall_std(sf_dir: str):
 
     from engine import blocking as blk, metrics
     from engine.joins import broadcast_semi_join
-    from engine.pipeline import (prep_train, property_table, side_dataset,
-                                 side_frame)
-    props = property_table(sf_dir)
-    prep = prep_train(props, seed=1)
+    from engine.pipeline import side_dataset, side_frame
+    props, prep = _prep(sf_dir)
     cands = broadcast_semi_join(
         side_dataset(props, "cands", ["doc_id", *PROPERTY_NAMES]),
         "doc_id", prep["test_ids"]).materialize()
