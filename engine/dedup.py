@@ -64,8 +64,8 @@ def _shingles(text: str, n: int = 3, pad: bool = False) -> set[str]:
 
 
 def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
-                        n: int = 3,
-                        max_df: int = 1000) -> ray.data.Dataset:
+                        n: int = 3, max_df: int = 1000,
+                        df_cap: int = 200_000) -> ray.data.Dataset:
     """All-pairs n-gram Jaccard >= threshold among docs sharing a shingle.
 
     Shape (fully streaming, no driver materialization anywhere): explode
@@ -79,6 +79,18 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
     shingles, so high-DF stop-shingles are redundant as candidates).  This
     bounds every group; pairs connected ONLY through dropped stop-shingles
     are not generated (documented approximation; raise max_df to disable).
+
+    ``df_cap``: the driver-side document-frequency table is a capped
+    heavy-hitters table, NOT the full distinct-shingle map: only the top
+    ``df_cap`` shingles by (df DESC, shingle ASC), among those with df >= 2,
+    are kept (per-bucket top-K then a final driver cut, so driver memory is
+    O(df_cap) at any corpus size).  Every shingle outside the table is
+    treated as df = 1.  The AllPairs prefix filter is LOSSLESS under ANY
+    globally-consistent shingle order, and (df_capped(s), s) is consistent
+    across all docs — truncation only affects pruning *efficiency* (the
+    highest-df shingles, which drive the pruning, are exactly the ones
+    kept), never the verified output.  Tie policy: rank by (df DESC,
+    shingle ASC), deterministic at any parallelism.
     """
     NUM_BUCKETS = 64
     import ray as _ray
@@ -95,19 +107,32 @@ def ngram_jaccard_pairs(docs: ray.data.Dataset, threshold: float = 0.6,
         return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
                          "shingle": pa.array(shs)})
 
-    # global shingle document frequencies: per-block partial counts merged
-    # on the driver (distinct shingles only; a CM-sketch at 10^12 scale) —
-    # they define the canonical rare-first order for PREFIX FILTERING
+    # global shingle document frequencies, BOUNDED: per-block partial counts
+    # (combiner) -> coarse-bucket shuffle -> per-bucket exact sum + top-K cut
+    # -> final driver cut to df_cap.  They define the canonical rare-first
+    # order for PREFIX FILTERING; see the df_cap contract in the docstring.
     def block_df(batch: pa.Table) -> pa.Table:
         v, c = np.unique(batch.column("shingle").to_numpy(zero_copy_only=False),
                          return_counts=True)
         return pa.table({"shingle": pa.array(v),
-                         "n": pa.array(c.astype(np.int64))})
+                         "n": pa.array(c.astype(np.int64)),
+                         "__b": pa.array(
+                             (fast_hash64(v) % NUM_BUCKETS).astype(np.int64))})
 
-    exploded0 = docs.map_batches(explode, batch_format="pyarrow").materialize()
-    dfp = exploded0.map_batches(block_df, batch_format="pyarrow").to_pandas()
-    dfm = dfp.groupby("shingle")["n"].sum()
-    df_ref = _ray.put(dict(dfm[dfm >= 2]))  # df=1 shingles pair with nothing
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("shingle", as_index=False)["n"].sum()
+        s = s[s.n >= 2]  # df=1 shingles pair with nothing
+        s = s.sort_values(["n", "shingle"], ascending=[False, True],
+                          kind="mergesort").head(df_cap)
+        return s[["shingle", "n"]]
+
+    dfp = docs.map_batches(explode, batch_format="pyarrow") \
+        .map_batches(block_df, batch_format="pyarrow") \
+        .groupby("__b").map_groups(topk_bucket, batch_format="pandas") \
+        .to_pandas()
+    dfp = dfp.sort_values(["n", "shingle"], ascending=[False, True],
+                          kind="mergesort").head(df_cap)
+    df_ref = _ray.put(dict(zip(dfp.shingle, dfp.n)))
 
     def prefix_explode(batch: pa.Table) -> pa.Table:
         """AllPairs/SSJoin prefix filter (Bayardo et al. 2007): under a
@@ -363,19 +388,36 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, num_perm: int = 64,
 
 
 def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
-    """64-bit SimHash over tokens: per-bit sign sum of token hashes."""
+    """64-bit SimHash over tokens: per-bit sign sum of token hashes.
+
+    Vectorized: md5 is computed once per UNIQUE token in the batch (the
+    earlier per-row×per-token interpreter loop dominated the hot text path);
+    per-doc bit sums come from one ``np.add.reduceat`` over the token
+    stream.  Token repeats still count (sum over occurrences, acc > 0
+    strictly) — bit-identical to the scalar definition, which the DuckDB
+    oracle replicates."""
     def sim(batch: pa.Table) -> pa.Table:
-        out = np.empty(batch.num_rows, dtype=np.uint64)
         shifts = np.arange(64, dtype=np.uint64)
-        for i, t in enumerate(batch.column("text").to_pylist()):
-            acc = np.zeros(64, dtype=np.int64)
-            for w in t.split(" "):
-                h = np.uint64(int.from_bytes(hashlib.md5(w.encode()).digest()[:8],
-                                             "little"))
-                bits = (h >> shifts) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            bitsv = (acc > 0).astype(np.uint64)
-            out[i] = np.bitwise_or.reduce(bitsv << shifts)
+        texts = batch.column("text").to_pylist()
+        if not texts:
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "simhash": pa.array([], type=pa.uint64())})
+        tok_lists = [t.split(" ") for t in texts]
+        counts = np.fromiter((len(ws) for ws in tok_lists),
+                             dtype=np.int64, count=len(tok_lists))
+        flat = np.asarray([w for ws in tok_lists for w in ws], dtype=object)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        hs = np.empty(len(uniq), dtype=np.uint64)
+        for i, w in enumerate(uniq):
+            hs[i] = int.from_bytes(hashlib.md5(w.encode()).digest()[:8],
+                                   "little")
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)) \
+            .astype(np.int64)                      # (U, 64)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        S = np.add.reduceat(bits[inv], starts, axis=0)  # per-doc bit sums
+        acc = 2 * S - counts[:, None]              # sum of ±1 per bit
+        out = np.bitwise_or.reduce(
+            (acc > 0).astype(np.uint64) << shifts[None, :], axis=1)
         return pa.table({"doc_id": batch.column("doc_id"),
                          "simhash": pa.array(out)})
 
@@ -463,11 +505,13 @@ def planted_neardup_embeddings(emb: ray.data.Dataset) -> ray.data.Dataset:
     """embeddings ∪ jittered copies of every vec_id % 5 == 0 at
     vec_id+100000 (deterministic ~1% perturbation -> cosine ≈ 0.999), so the
     near-dup operator has planted positives at any scale."""
+    from engine.joins import list_column_matrix  # driver-level: closure capture
+
     def dup(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy()
         mask = ids % 5 == 0
         keep = batch.filter(pa.array(mask))
-        vecs = np.asarray(keep.column("embedding").to_pylist(), dtype=np.float32)
+        vecs = list_column_matrix(keep.column("embedding"), dtype=np.float32)
         kept_ids = keep.column("vec_id").to_numpy()
         jit = np.empty_like(vecs)
         for i, vid in enumerate(kept_ids):
@@ -487,32 +531,94 @@ def planted_neardup_embeddings(emb: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def embedding_near_dup(emb: ray.data.Dataset, threshold: float = 0.95,
-                       block_bits: int = 6) -> ray.data.Dataset:
-    """Embedding-cosine near-dup: random-hyperplane LSH buckets then exact
-    cosine verify within buckets (a_id < b_id, cos >= threshold)."""
+                       bands: int = 8, bits_per_band: int = 8,
+                       max_bucket: int = 2000, dim: int = 64,
+                       seed: int = 11) -> ray.data.Dataset:
+    """Embedding-cosine near-dup, banded (the minhash_lsh_pairs shape).
+
+    ``bands`` independent random-hyperplane tables of ``bits_per_band`` bits
+    each: a pair of vectors at angle θ matches one band with prob
+    (1 - θ/π)^bits, and is a candidate if ANY band matches — so recall for
+    cosine ≥ ``threshold`` pairs is 1-(1-p)^bands (≈1-8e-4 at cos 0.98 with
+    the defaults) while the candidate key space has bands·2^bits buckets,
+    not the 2^6 = 64 global buckets of the earlier single-table variant.
+
+    Scale shape: only (vec_id, band, bucket) rides the shuffle — embeddings
+    do NOT; a (band, bucket) bucket larger than ``max_bucket`` is dropped
+    entirely (stop-bucket removal, as in minhash_lsh_pairs — degenerate
+    directions whose O(size²) pair explosion would dominate; clusters that
+    large still surface through their other bands); candidate pairs go
+    through the distributed distinct and a bucketed-JOIN exact-cosine
+    verify, never an in-group all-pairs over a corpus fraction.
+    Emits (a_id, b_id, cosine) with a_id < b_id, cosine >= threshold."""
     import ray
-    rng = np.random.default_rng(11)
-    planes = rng.standard_normal((block_bits, 64))
+    from engine.joins import bucketed_hash_join, list_column_matrix
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bands * bits_per_band, dim))
     planes_ref = ray.put(planes)
+    NUM_BUCKETS = 64
+    pow2 = (1 << np.arange(bits_per_band)).astype(np.int64)
 
-    def bucket(batch: pa.Table) -> pa.Table:
+    emb = emb.materialize()  # feeds bucketing AND both verify-join sides
+
+    def band_explode(batch: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
-        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
-        bits = (vecs @ pl.T) > 0
-        key = (bits.astype(np.int64) * (1 << np.arange(block_bits))).sum(axis=1)
-        return pa.table({"vec_id": batch.column("vec_id"),
-                         "bucket": pa.array(key),
-                         "embedding": batch.column("embedding")})
+        vecs = list_column_matrix(batch.column("embedding"))
+        ids = batch.column("vec_id").to_numpy()
+        bits = ((vecs @ pl.T) > 0).astype(np.int64)
+        # (n, bands) bucket keys: pack each band's bit slice
+        bv = bits.reshape(len(ids), bands, bits_per_band) @ pow2
+        band_idx = np.tile(np.arange(bands, dtype=np.int32), len(ids))
+        bvr = bv.ravel()
+        key = band_idx.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) \
+            ^ bvr.astype(np.uint64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, bands), type=pa.int64()),
+            "band": pa.array(band_idx),
+            "bv": pa.array(bvr),
+            "__b": pa.array((key % NUM_BUCKETS).astype(np.int64)),
+        })
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        vecs = np.asarray(g["embedding"].tolist(), dtype=np.float64)
-        ids = g["vec_id"].to_numpy()
-        nrm = np.linalg.norm(vecs, axis=1)
-        sim = (vecs @ vecs.T) / np.outer(nrm, nrm)
-        a, b = np.triu_indices(len(ids), k=1)
-        keep = sim[a, b] >= threshold
-        return pd.DataFrame({"a_id": ids[a][keep], "b_id": ids[b][keep],
-                             "cosine": sim[a, b][keep]})
+    def pairs_in_shuffle_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby(["band", "bv"])["doc_id"].transform("size")
+        g = g[(sz >= 2) & (sz <= max_bucket)][["doc_id", "band", "bv"]]
+        if g.empty:
+            return pd.DataFrame({"a_id": pd.Series([], dtype="int64"),
+                                 "b_id": pd.Series([], dtype="int64")})
+        m = g.merge(g, on=["band", "bv"])
+        m = m[m.doc_id_x < m.doc_id_y].drop_duplicates(["doc_id_x", "doc_id_y"])
+        return pd.DataFrame({"a_id": m.doc_id_x.to_numpy(),
+                             "b_id": m.doc_id_y.to_numpy()})
 
-    return emb.map_batches(bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(verify, batch_format="pandas")
+    cand = emb.map_batches(band_explode, batch_format="pyarrow") \
+        .groupby("__b").map_groups(pairs_in_shuffle_bucket,
+                                   batch_format="pandas")
+    dd = _distinct_pairs(cand).materialize()
+
+    def emb_side(prefix: str) -> ray.data.Dataset:
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({f"{prefix}_vid": b.column("vec_id"),
+                             f"{prefix}_emb": b.column("embedding")})
+        return emb.map_batches(f, batch_format="pyarrow")
+
+    j = bucketed_hash_join(dd, emb_side("a"),
+                           "a_id", "a_vid").drop_columns(["a_vid"])
+    j = bucketed_hash_join(j, emb_side("b"),
+                           "b_id", "b_vid").drop_columns(["b_vid"])
+
+    def verify(b: pa.Table) -> pa.Table:
+        va = list_column_matrix(b.column("a_emb"))
+        vb = list_column_matrix(b.column("b_emb"))
+        if len(va) == 0:
+            return pa.table({"a_id": pa.array([], type=pa.int64()),
+                             "b_id": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        cos = (va * vb).sum(1) / (np.linalg.norm(va, axis=1)
+                                  * np.linalg.norm(vb, axis=1))
+        t = pa.table({"a_id": b.column("a_id").cast(pa.int64()),
+                      "b_id": b.column("b_id").cast(pa.int64()),
+                      "cosine": pa.array(cos, type=pa.float64())})
+        return t.filter(pc.greater_equal(t.column("cosine"),
+                                         pa.scalar(threshold)))
+
+    return j.map_batches(verify, batch_format="pyarrow")

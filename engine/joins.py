@@ -57,6 +57,23 @@ def fast_hash64(values) -> np.ndarray:
     return h
 
 
+def list_column_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Zero-copy flatten of a fixed-width ``list<float>`` Arrow column into an
+    (n, dim) numpy matrix: values-buffer view + offsets arithmetic, no
+    ``to_pylist`` materialization (the idiom from the dedup verify kernel).
+    Falls back to the slow path for ragged lists."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    off = arr.offsets.to_numpy(zero_copy_only=False)
+    dim = int(off[1] - off[0])
+    if dim <= 0 or not np.all(np.diff(off) == dim):
+        return np.asarray(arr.to_pylist(), dtype=dtype)
+    vals = arr.values.to_numpy(zero_copy_only=False)
+    return vals[off[0]:off[-1]].reshape(n, dim).astype(dtype, copy=False)
+
+
 def broadcast_lookup(ds: ray.data.Dataset, key: str, lookup: dict,
                      out_cols: dict[str, str], default=None) -> ray.data.Dataset:
     """Attach columns from a broadcast {key -> tuple} mapping.

@@ -16,9 +16,11 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from engine.joins import list_column_matrix
 
-def brute_knn(emb: ray.data.Dataset, query_ids: list[int], k: int = 10) -> pd.DataFrame:
-    """Exact cosine top-k: (qid, neighbor_id, rank) — rank by (sim desc, id asc)."""
+
+def _query_matrix(emb: ray.data.Dataset, query_ids: list[int]):
+    """(qids, unit-normalized query matrix) — the tiny broadcast side."""
     import pyarrow.compute as pc
     qset = pa.array(query_ids, type=pa.int64())
     qdf = emb.map_batches(
@@ -26,12 +28,17 @@ def brute_knn(emb: ray.data.Dataset, query_ids: list[int], k: int = 10) -> pd.Da
         batch_format="pyarrow").to_pandas()
     qv = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
     qn = qv / np.linalg.norm(qv, axis=1, keepdims=True)
-    qids = qdf["vec_id"].to_numpy()
+    return qdf["vec_id"].to_numpy(), qn
+
+
+def brute_knn(emb: ray.data.Dataset, query_ids: list[int], k: int = 10) -> pd.DataFrame:
+    """Exact cosine top-k: (qid, neighbor_id, rank) — rank by (sim desc, id asc)."""
+    qids, qn = _query_matrix(emb, query_ids)
     ref = ray.put((qids, qn))
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qids_, qn_ = ray.get(ref)
-        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        vecs = list_column_matrix(batch.column("embedding"))
         ids = batch.column("vec_id").to_numpy()
         vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
         sim = qn_ @ vn.T  # (nq, nb)
@@ -61,10 +68,15 @@ def brute_knn(emb: ray.data.Dataset, query_ids: list[int], k: int = 10) -> pd.Da
 def _kmeans_fit(sample: np.ndarray, n_clusters: int, n_iter: int = 10
                 ) -> np.ndarray:
     """Deterministic mini k-means (no RNG: first-rows init, fixed iteration
-    count, stable argmin ties) — the IVF coarse quantizer."""
+    count, stable argmin ties) — the IVF coarse quantizer.  Distances via the
+    |a-b|^2 = |a|^2 - 2ab + |b|^2 matmul identity: the temporaries are
+    (n, k), not (n, k, dim) — the 3-D broadcast version allocated ~30 MB per
+    iteration, which this host's big-allocation pathology turns into seconds
+    (see BASELINE.md host notes)."""
     centroids = sample[:n_clusters].copy()
+    s_sq = (sample * sample).sum(1)[:, None]
     for _ in range(n_iter):
-        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(-1)
+        d2 = s_sq - 2.0 * (sample @ centroids.T) + (centroids * centroids).sum(1)[None, :]
         assign = d2.argmin(axis=1)
         for c in range(n_clusters):
             m = assign == c
@@ -75,29 +87,28 @@ def _kmeans_fit(sample: np.ndarray, n_clusters: int, n_iter: int = 10
 
 def ivf_knn(emb: ray.data.Dataset, query_ids: list[int], k: int = 10,
             n_clusters: int = 16, n_probe: int = 6,
-            sample_mod: int = 4) -> pd.DataFrame:
+            max_sample: int = 8192) -> pd.DataFrame:
     """IVF-bucketed ANN — the faiss IndexIVFFlat recipe as Ray stages.
 
-    Coarse quantizer: deterministic k-means fit on a hash-sampled subset
-    (driver-side, tiny).  Scan: corpus streams once; each batch assigns its
-    vectors to centroids (broadcast) and each query scores ONLY vectors in
-    its ``n_probe`` nearest clusters — at scale the cluster id becomes the
+    Coarse quantizer: deterministic k-means fit on a hash-thinned sample
+    BOUNDED to ``max_sample`` rows regardless of corpus size (the thinning
+    modulus derives from a metadata count, so the driver collect is O(fixed),
+    never O(corpus) — a percentage sample would OOM the driver at 10^12
+    vectors).  Scan: corpus streams once; each batch assigns its vectors to
+    centroids (broadcast) and each query scores ONLY vectors in its
+    ``n_probe`` nearest clusters — at scale the cluster id becomes the
     partition key so probes touch a bounded fraction of the corpus.
     Same output schema as brute_knn; recall vs brute measured in tests."""
-    import pyarrow.compute as pc
-    qset = pa.array(query_ids, type=pa.int64())
-    qdf = emb.map_batches(
-        lambda b: b.filter(pc.is_in(b.column("vec_id"), value_set=qset)),
-        batch_format="pyarrow").to_pandas()
-    qv = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
-    qn = qv / np.linalg.norm(qv, axis=1, keepdims=True)
-    qids = qdf["vec_id"].to_numpy()
+    qids, qn = _query_matrix(emb, query_ids)
 
-    # deterministic sample for the quantizer fit (every sample_mod-th vec)
+    # bounded deterministic sample for the quantizer fit: metadata row count
+    # -> thinning modulus -> vec_id-mod filter -> hard cap via limit()
+    n_total = emb.count()
+    mod = max(1, -(-n_total // max_sample))  # ceil division
     sample = emb.map_batches(
         lambda b: b.filter(pa.array(
-            b.column("vec_id").to_numpy() % sample_mod == 0)),
-        batch_format="pyarrow").to_pandas()
+            b.column("vec_id").to_numpy() % mod == 0)),
+        batch_format="pyarrow").limit(max_sample).to_pandas()
     sv = np.asarray(sample["embedding"].tolist(), dtype=np.float64)
     sv = sv / np.linalg.norm(sv, axis=1, keepdims=True)
     centroids = _kmeans_fit(sv, n_clusters)
@@ -109,10 +120,11 @@ def ivf_knn(emb: ray.data.Dataset, query_ids: list[int], k: int = 10,
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qids_, qn_, cents_, allowed_ = ray.get(ref)
-        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        vecs = list_column_matrix(batch.column("embedding"))
         ids = batch.column("vec_id").to_numpy()
         vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-        vd2 = ((vn[:, None, :] - cents_[None, :, :]) ** 2).sum(-1)
+        vd2 = (vn * vn).sum(1)[:, None] - 2.0 * (vn @ cents_.T) \
+            + (cents_ * cents_).sum(1)[None, :]
         vc = vd2.argmin(axis=1)
         out_q, out_n, out_s = [], [], []
         for qi, qvec in zip(qids_, qn_):
@@ -143,16 +155,9 @@ def lsh_knn(emb: ray.data.Dataset, query_ids: list[int], k: int = 10,
             bits: int = 4, seed: int = 11) -> pd.DataFrame:
     """Approximate top-k: hyperplane-bucketed scan (bucket + neighbors by
     Hamming<=1).  Returns same schema as brute_knn; recall measured in tests."""
-    import pyarrow.compute as pc
-    qset = pa.array(query_ids, type=pa.int64())
-    qdf = emb.map_batches(
-        lambda b: b.filter(pc.is_in(b.column("vec_id"), value_set=qset)),
-        batch_format="pyarrow").to_pandas()
-    qv = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
-    qn = qv / np.linalg.norm(qv, axis=1, keepdims=True)
-    qids = qdf["vec_id"].to_numpy()
+    qids, qn = _query_matrix(emb, query_ids)
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((bits, qv.shape[1]))
+    planes = rng.standard_normal((bits, qn.shape[1]))
     qbuck = ((qn @ planes.T) > 0).astype(np.int64) @ (1 << np.arange(bits))
     # allowed buckets per query: exact + Hamming-1
     allowed = {}
@@ -163,7 +168,7 @@ def lsh_knn(emb: ray.data.Dataset, query_ids: list[int], k: int = 10,
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qids_, qn_, planes_, allowed_ = ray.get(ref)
-        vecs = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        vecs = list_column_matrix(batch.column("embedding"))
         ids = batch.column("vec_id").to_numpy()
         vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
         vbuck = ((vn @ planes_.T) > 0).astype(np.int64) @ (1 << np.arange(planes_.shape[0]))

@@ -335,6 +335,67 @@ def test_embedding_near_dup_recovers_planted(ray_session):
     assert (out.cosine >= 0.98).all()
 
 
+def test_embedding_near_dup_hot_bucket_bounded(ray_session):
+    """Skew: 200 near-identical vectors land in ONE LSH bucket in every band
+    (an O(n²) pair explosion without the cap).  With max_bucket below the
+    cluster size the stop-bucket removal drops the degenerate cluster in
+    every band — the operator completes and the O(n²) hot pairs are absent —
+    while an isolated planted near-dup pair in an uncapped bucket is still
+    found."""
+    import pyarrow as pa
+    from engine.dedup import embedding_near_dup
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64)
+    hot = base[None, :] + 0.001 * rng.standard_normal((200, 64))
+    iso = rng.standard_normal(64)
+    iso2 = iso + 0.01 * rng.standard_normal(64)
+    vecs = np.vstack([hot, iso, iso2]).astype(np.float32)
+    emb = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(len(vecs)), type=pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32())),
+    })).repartition(4)
+    out = embedding_near_dup(emb, threshold=0.98, max_bucket=50).to_pandas()
+    # isolated planted pair found; the hot cluster's O(n²) explosion is gone
+    # (a handful of stragglers whose jitter flipped a band bit may pair in
+    # small side-buckets — that's the documented stop-bucket semantic)
+    assert ((out.a_id == 200) & (out.b_id == 201)).any()
+    assert len(out) < 100  # nowhere near the 19900 uncapped hot pairs
+
+
+def test_ngram_df_cap_lossless(ray_session):
+    """The capped heavy-hitters DF table changes only pruning efficiency,
+    never the verified output: a tiny df_cap (driver table bounded at 5
+    entries on a corpus with hundreds of distinct shingles) yields exactly
+    the pairs of an effectively-unbounded one."""
+    import pyarrow as pa
+    from engine.dedup import ngram_jaccard_pairs
+    rng = np.random.default_rng(7)
+    texts = []
+    vocab = [f"w{j}" for j in range(40)]
+    for i in range(120):
+        toks = rng.choice(vocab, size=8, replace=True).tolist()
+        texts.append(" ".join(toks))
+    texts.append(texts[5])   # planted exact dup
+    texts.append(" ".join(texts[9].split()[:7]) + " zz")  # planted near-dup
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+        "text": pa.array(texts)})).repartition(4)
+
+    def norm(df):
+        return df.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+    big = norm(ngram_jaccard_pairs(docs, threshold=0.5,
+                                   df_cap=10**6).to_pandas())
+    small = norm(ngram_jaccard_pairs(docs, threshold=0.5,
+                                     df_cap=5).to_pandas())
+    assert ((big.a_id == 5) & (big.b_id == 121)).any()
+    assert len(big) == len(small)
+    assert (big.a_id.to_numpy() == small.a_id.to_numpy()).all()
+    assert (big.b_id.to_numpy() == small.b_id.to_numpy()).all()
+    assert np.allclose(big.jaccard.to_numpy(), small.jaccard.to_numpy())
+
+
 def test_bucketed_hash_join_matches_pandas(ray_session):
     import pandas as pd
     import ray.data
