@@ -484,6 +484,118 @@ SELECT l.event_id, l.user_id,
 FROM last_date l WHERE l.od IS NOT NULL
 """
 
+# Cell-partitioned blocking over the flat-roof generative subset: the engine
+# replicates each cand to its Chebyshev ring-1 cells at res 9 (cell = 256 m,
+# dyadic) and keeps the global top-21 index neighbors by exact squared
+# centroid distance — per-cell top-k + re-reduce equals the ring-restricted
+# global top-k, so one window over the ring join replicates it bit-for-bit.
+GEO_BLOCK_CELLS = _GEO_KNN_SIDES + """
+, cc AS (
+  SELECT cand_id, cx, cy,
+         CAST(floor(cx / 256) AS BIGINT) AS ix,
+         CAST(floor(cy / 256) AS BIGINT) AS iy
+  FROM cands
+), ic AS (
+  SELECT index_id, knum, cx, cy,
+         CAST(floor(cx / 256) AS BIGINT) AS ix,
+         CAST(floor(cy / 256) AS BIGINT) AS iy
+  FROM idx
+), j AS (
+  SELECT cc.cand_id, ic.index_id,
+         (cc.cx - ic.cx) * (cc.cx - ic.cx) + (cc.cy - ic.cy) * (cc.cy - ic.cy) AS dist2,
+         row_number() OVER (
+           PARTITION BY cc.cand_id
+           ORDER BY (cc.cx - ic.cx) * (cc.cx - ic.cx) + (cc.cy - ic.cy) * (cc.cy - ic.cy),
+                    ic.knum) AS rnk
+  FROM cc JOIN ic
+    ON abs(cc.ix - ic.ix) <= 1 AND abs(cc.iy - ic.iy) <= 1
+)
+SELECT cand_id, index_id, CAST(rnk AS INTEGER) AS rank, dist2
+FROM j WHERE rnk <= 21
+"""
+
+# --- md5-derived token hashes ---------------------------------------------
+# DuckDB's md5_number_upper(s) equals the engine's token hash
+# int.from_bytes(md5(s).digest()[:8], 'little') (first 8 digest bytes,
+# little-endian) — verified on DuckDB 1.0.
+
+# Rolling-hash fingerprint (engine/text.py fingerprint): window hash =
+# sum_j h[i+j] * BASE^(window-1-j) mod (2^61 - 1).  Powers are precomputed
+# exact constants; each product is reduced before summing so the HUGEINT
+# accumulation never exceeds 2^64.
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 1000003
+_FP_WINDOW = 8
+_FP_POWS = [pow(_FP_BASE, _FP_WINDOW - 1 - j, _FP_MOD)
+            for j in range(_FP_WINDOW)]
+_FP_TERMS = " + ".join(
+    f"(h[i + {j}] * {p}::HUGEINT) % {_FP_MOD}::HUGEINT"
+    for j, p in enumerate(_FP_POWS))
+
+TEXT_FINGERPRINT = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         md5_number_upper(text) AS text_hash
+  FROM documents
+), hs AS (
+  SELECT doc_id, text_hash, len(toks) AS n,
+         list_transform(toks, w -> CAST(md5_number_upper(w) AS HUGEINT)) AS h
+  FROM t
+), win AS (
+  SELECT doc_id, h, unnest(generate_series(1, n - {_FP_WINDOW - 1})) AS i
+  FROM hs WHERE n >= {_FP_WINDOW}
+), wv AS (
+  SELECT doc_id, ({_FP_TERMS}) % {_FP_MOD}::HUGEINT AS v FROM win
+), agg AS (
+  SELECT doc_id, MIN(v) AS mh FROM wv GROUP BY doc_id
+)
+SELECT hs.doc_id,
+       CAST(CASE WHEN hs.n >= {_FP_WINDOW} THEN agg.mh
+            ELSE (SELECT MIN(x) FROM unnest(hs.h) AS u(x)) END
+            AS UBIGINT) AS min_hash,
+       hs.text_hash
+FROM hs LEFT JOIN agg ON agg.doc_id = hs.doc_id
+"""
+
+# SimHash signature (engine/dedup.py simhash_signatures): per doc, bit b of
+# the 64-bit signature is set iff sum over token OCCURRENCES of
+# (bit b of md5-hash ? +1 : -1) is strictly positive.  Powers of two are
+# literal constants (2^63 exceeds BIGINT; the VALUES rows carry HUGEINT).
+_POW2_VALUES = ", ".join(f"({b}, {1 << b})" for b in range(64))
+
+_SIMHASH_SIG = _DUP_CORPUS + f"""
+, tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus
+), th AS (
+  SELECT doc_id, md5_number_upper(w) AS h FROM tok
+), bits(b, pw) AS (VALUES {_POW2_VALUES}),
+sb AS (
+  SELECT doc_id, b, pw,
+         SUM(CASE WHEN (h >> b) & CAST(1 AS UBIGINT) = CAST(1 AS UBIGINT)
+             THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN bits GROUP BY doc_id, b, pw
+), sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(pw AS HUGEINT) ELSE 0 END)
+              AS UBIGINT) AS simhash
+  FROM sb GROUP BY doc_id
+)
+"""
+
+DEDUP_SIMHASH = _SIMHASH_SIG + """
+SELECT doc_id, simhash FROM sig
+"""
+
+# Brute-force hamming <= 3 pairs: the engine's banded blocking is
+# pigeonhole-LOSSLESS for max_hamming <= bands-1, so its output equals this
+# exhaustive popcount join.
+DEDUP_SIMHASH_PAIRS = _SIMHASH_SIG + """
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
 # all-roof-type subset: bbox, height, counts, and EXACT volume closed forms.
 # The kernel accumulates the integer-dyadic 6V numerator and divides once,
 # so SQL replicates with the same single division: (6V_num)/6.

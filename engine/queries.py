@@ -355,11 +355,21 @@ def geo_threshold_sweep(sf_dir: str):
 
 def geo_block_cells(sf_dir: str):
     """Cell-partitioned blocking (the 10^12-scale shuffle path with hot-cell
-    salting): candidate pairs from spatial co-partitioning.  Rows-only."""
+    salting): candidate pairs from spatial co-partitioning.  Runs over the
+    flat-roof generative subset so the ring-restricted top-21 ranking and
+    exact dyadic squared distances are checked bit-for-bit by the DuckDB
+    window-SQL oracle (the geo_block_centroid technique); the full-corpus
+    cell path is exercised in bench and the salting tests."""
     from engine.blocking import cell_blocking
     props = _props(sf_dir)
-    return cell_blocking(props.select_columns(["doc_id", "source", "cx", "cy"]),
-                         res=9, ring=1)
+
+    def flat(b: pa.Table) -> pa.Table:
+        ids = np.asarray([int(d) for d in b.column("doc_id").to_pylist()])
+        return b.filter(pa.array(ids % 5 == 0))
+
+    flat_props = props.select_columns(["doc_id", "source", "cx", "cy"]) \
+        .map_batches(flat, batch_format="pyarrow")
+    return cell_blocking(flat_props, res=9, ring=1)
 
 
 def geo_block_embedding(sf_dir: str):
@@ -671,8 +681,8 @@ def dedup_simhash(sf_dir: str):
 
 def dedup_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs: banded blocking (pigeonhole-lossless for
-    hamming <= 3) + popcount verify over the planted-dup corpus.
-    Rows-only."""
+    hamming <= 3) + popcount verify over the planted-dup corpus — equals the
+    oracle's brute-force popcount join bit-for-bit."""
     return dedup.simhash_pairs(dedup.planted_dup_corpus(_docs(sf_dir)))
 
 
@@ -782,9 +792,13 @@ def oracle_sql() -> dict[str, str]:
         "q_events_sliding": o.REL_EVENTS_SLIDING,
         "q_events_running": o.REL_EVENTS_RUNNING,
         "q_events_asof": o.REL_EVENTS_ASOF,
+        "geo_block_cells": o.GEO_BLOCK_CELLS,
         "text_stats": o.TEXT_STATS,
         "text_langid": o.TEXT_LANGID,
+        "text_fingerprint": o.TEXT_FINGERPRINT,
         "dedup_exact": o.DEDUP_EXACT,
         "dedup_ngram": o.DEDUP_NGRAM,
+        "dedup_simhash": o.DEDUP_SIMHASH,
+        "dedup_simhash_pairs": o.DEDUP_SIMHASH_PAIRS,
         "sim_knn_cosine": o.SIM_KNN,
     }
