@@ -345,12 +345,14 @@ class AdaBoost:
     No RNG anywhere; ``feature_importances_`` are alpha-weight sums per
     feature."""
 
-    def __init__(self, n_estimators=60, random_state=1):
+    def __init__(self, n_estimators=60, learning_rate=1.0, random_state=1):
         self.n_estimators = n_estimators
+        self.learning_rate = learning_rate  # shrinks each stump's alpha
         self.random_state = random_state  # unused (deterministic); API compat
 
     def get_params(self):
         return dict(n_estimators=self.n_estimators,
+                    learning_rate=self.learning_rate,
                     random_state=self.random_state)
 
     def fit(self, X, y):
@@ -367,7 +369,7 @@ class AdaBoost:
             if err >= 0.5:
                 break
             err = max(err, 1e-10)
-            alpha = 0.5 * np.log((1.0 - err) / err)
+            alpha = self.learning_rate * 0.5 * np.log((1.0 - err) / err)
             self.stumps_.append(stump)
             self.alphas_.append(alpha)
             imp[stump.fi_] += alpha
@@ -437,22 +439,232 @@ class LogisticRegression:
         return (self.predict_proba(X) >= 0.5).astype(np.int8)
 
 
+class _XGBTree:
+    """Second-order (Newton) regression tree on (gradient, hessian) pairs:
+    leaf weight -G/(H+λ), split gain ½[G_L²/(H_L+λ) + G_R²/(H_R+λ) −
+    G²/(H+λ)] − γ — the XGBoost tree booster recipe, deterministic
+    (exhaustive feature scan, ties → lowest feature index then lowest cut)."""
+
+    def __init__(self, max_depth, lam, gamma):
+        self.max_depth = max_depth
+        self.lam = lam
+        self.gamma = gamma
+        self.nodes = []
+        self.importances_ = None
+
+    def fit(self, X, g, h):
+        self.importances_ = np.zeros(X.shape[1])
+        self._build(X, g, h, np.arange(len(g)), 0)
+        return self
+
+    def _build(self, X, g, h, idx, depth):
+        node = len(self.nodes)
+        G, H = float(g[idx].sum()), float(h[idx].sum())
+        self.nodes.append([-1, 0.0, -1, -1, -G / (H + self.lam)])
+        if depth >= self.max_depth or len(idx) < 2:
+            return node
+        parent = G * G / (H + self.lam)
+        best = None
+        for fi in range(X.shape[1]):
+            x = X[idx, fi]
+            order = np.argsort(x, kind="stable")
+            xs = x[order]
+            cut = np.nonzero(xs[1:] != xs[:-1])[0] + 1
+            if not len(cut):
+                continue
+            gc = np.cumsum(g[idx][order])
+            hc = np.cumsum(h[idx][order])
+            GL, HL = gc[cut - 1], hc[cut - 1]
+            GR, HR = G - GL, H - HL
+            gain = 0.5 * (GL * GL / (HL + self.lam)
+                          + GR * GR / (HR + self.lam) - parent) - self.gamma
+            b = int(np.argmax(gain))
+            if gain[b] > 1e-12 and (best is None or gain[b] > best[0] + 1e-15):
+                best = (float(gain[b]), fi, (xs[cut[b] - 1] + xs[cut[b]]) / 2.0)
+        if best is None:
+            return node
+        gain, fi, thr = best
+        self.importances_[fi] += gain
+        mask = X[idx, fi] <= thr
+        self.nodes[node][0] = fi
+        self.nodes[node][1] = thr
+        self.nodes[node][2] = self._build(X, g, h, idx[mask], depth + 1)
+        self.nodes[node][3] = self._build(X, g, h, idx[~mask], depth + 1)
+        return node
+
+    predict = _RegressionTree.predict  # same flat-node vectorized traversal
+
+
+class XGBoost:
+    """Deterministic second-order boosted trees — the reference's
+    XGBClassifier slot (classifier.py model zoo / config.py:75-76,121-127):
+    logistic loss, per-round gradients g = p − y and hessians h = p(1−p),
+    L2 leaf regularization ``lam`` and min split gain ``gamma`` exactly as
+    the XGBoost objective defines them.  No RNG anywhere."""
+
+    def __init__(self, n_estimators=60, learning_rate=0.3, max_depth=4,
+                 lam=1.0, gamma=0.0, random_state=1):
+        self.n_estimators = n_estimators
+        self.learning_rate = learning_rate
+        self.max_depth = max_depth
+        self.lam = lam
+        self.gamma = gamma
+        self.random_state = random_state  # unused (deterministic); API compat
+
+    def get_params(self):
+        return dict(n_estimators=self.n_estimators,
+                    learning_rate=self.learning_rate,
+                    max_depth=self.max_depth, lam=self.lam, gamma=self.gamma,
+                    random_state=self.random_state)
+
+    def fit(self, X, y):
+        X = np.ascontiguousarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        pred = np.zeros(len(y))
+        self.trees_ = []
+        imp = np.zeros(X.shape[1])
+        for _ in range(self.n_estimators):
+            p = 1.0 / (1.0 + np.exp(-pred))
+            g = p - y
+            h = np.maximum(p * (1.0 - p), 1e-10)
+            tree = _XGBTree(self.max_depth, self.lam, self.gamma).fit(X, g, h)
+            pred += self.learning_rate * tree.predict(X)
+            imp += tree.importances_
+            self.trees_.append(tree)
+        s = imp.sum()
+        self.feature_importances_ = imp / s if s > 0 else imp
+        return self
+
+    def predict_proba(self, X):
+        X = np.ascontiguousarray(X, dtype=np.float64)
+        pred = np.zeros(len(X))
+        for tree in self.trees_:
+            pred += self.learning_rate * tree.predict(X)
+        return 1.0 / (1.0 + np.exp(-pred))
+
+    def predict(self, X):
+        return (self.predict_proba(X) >= 0.5).astype(np.int8)
+
+
+class MLP:
+    """Seeded two-hidden-layer perceptron — the reference's MLPClassifier
+    slot (config.py:96-101: hidden (64,32), relu, adam).  Deterministic:
+    seeded init, FULL-batch Adam for a fixed epoch count (no minibatch
+    shuffling, so the fit is identical at any parallelism).
+    ``feature_importances_`` are first-layer |weight| row sums."""
+
+    def __init__(self, hidden=(64, 32), epochs=200, lr=0.01, l2=1e-4,
+                 random_state=1):
+        self.hidden = tuple(hidden)
+        self.epochs = epochs
+        self.lr = lr
+        self.l2 = l2
+        self.random_state = random_state
+
+    def get_params(self):
+        return dict(hidden=self.hidden, epochs=self.epochs, lr=self.lr,
+                    l2=self.l2, random_state=self.random_state)
+
+    def fit(self, X, y):
+        X = np.ascontiguousarray(X, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        self.mu_ = X.mean(axis=0)
+        self.sd_ = X.std(axis=0)
+        self.sd_[self.sd_ == 0] = 1.0
+        Z = (X - self.mu_) / self.sd_
+        rng = np.random.default_rng(self.random_state)
+        sizes = [Z.shape[1], *self.hidden, 1]
+        W = [rng.standard_normal((a, b)) * np.sqrt(2.0 / a)
+             for a, b in zip(sizes[:-1], sizes[1:])]
+        B = [np.zeros(b) for b in sizes[1:]]
+        mW = [np.zeros_like(w) for w in W]
+        vW = [np.zeros_like(w) for w in W]
+        mB = [np.zeros_like(b) for b in B]
+        vB = [np.zeros_like(b) for b in B]
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        n = len(Z)
+        for t in range(1, self.epochs + 1):
+            acts = [Z]
+            for li in range(len(W) - 1):
+                acts.append(np.maximum(acts[-1] @ W[li] + B[li], 0.0))
+            logits = (acts[-1] @ W[-1] + B[-1]).ravel()
+            p = 1.0 / (1.0 + np.exp(-logits))
+            delta = ((p - y) / n)[:, None]
+            for li in range(len(W) - 1, -1, -1):
+                gW = acts[li].T @ delta + self.l2 * W[li]
+                gB = delta.sum(axis=0)
+                if li > 0:
+                    delta = (delta @ W[li].T) * (acts[li] > 0)
+                mW[li] = b1 * mW[li] + (1 - b1) * gW
+                vW[li] = b2 * vW[li] + (1 - b2) * gW * gW
+                mB[li] = b1 * mB[li] + (1 - b1) * gB
+                vB[li] = b2 * vB[li] + (1 - b2) * gB * gB
+                c1, c2 = 1 - b1 ** t, 1 - b2 ** t
+                W[li] -= self.lr * (mW[li] / c1) / (np.sqrt(vW[li] / c2) + eps)
+                B[li] -= self.lr * (mB[li] / c1) / (np.sqrt(vB[li] / c2) + eps)
+        self.W_, self.B_ = W, B
+        imp = np.abs(W[0]).sum(axis=1)
+        s = imp.sum()
+        self.feature_importances_ = imp / s if s > 0 else imp
+        return self
+
+    def predict_proba(self, X):
+        Z = (np.ascontiguousarray(X, dtype=np.float64) - self.mu_) / self.sd_
+        for li in range(len(self.W_) - 1):
+            Z = np.maximum(Z @ self.W_[li] + self.B_[li], 0.0)
+        logits = (Z @ self.W_[-1] + self.B_[-1]).ravel()
+        return 1.0 / (1.0 + np.exp(-logits))
+
+    def predict(self, X):
+        return (self.predict_proba(X) >= 0.5).astype(np.int8)
+
+
 MODEL_REGISTRY = {
     "RandomForest": RandomForest,
     "GradientBoosting": GradientBoosting,
     "Bagging": Bagging,
     "AdaBoost": AdaBoost,
+    "XGBoost": XGBoost,
+    "MLP": MLP,
     "LogisticRegression": LogisticRegression,
 }
 
 # hyperparameter grids per family — the reference's config.Models.params_dict
-# (config.py:79-128) scaled to deterministic numpy models
+# (config.py:79-128) scaled to deterministic numpy models.  DEFAULT_GRIDS
+# bound the correctness-driver runtime; FULL_GRIDS mirror the reference's
+# published grid dimensions (select with grids="full" / GEO_FULL_GRIDS=1).
 DEFAULT_GRIDS = {
-    "RandomForest": {"n_estimators": [20, 40], "max_depth": [8, 12]},
-    "GradientBoosting": {"n_estimators": [40, 80], "learning_rate": [0.1, 0.2]},
-    "Bagging": {"n_estimators": [20, 40], "max_depth": [10, 14]},
-    "AdaBoost": {"n_estimators": [40, 80]},
-    "LogisticRegression": {"l2": [1e-3, 1e-1]},
+    "RandomForest": {"n_estimators": [50, 100], "max_depth": [5, 10]},
+    "GradientBoosting": {"n_estimators": [100, 200],
+                         "learning_rate": [0.01, 0.1]},
+    "Bagging": {"n_estimators": [10, 50], "max_depth": [10, 14]},
+    "AdaBoost": {"n_estimators": [100, 200], "learning_rate": [0.5, 1.0]},
+    "XGBoost": {"n_estimators": [50, 100], "max_depth": [3, 5],
+                "learning_rate": [0.1, 0.5]},
+    "MLP": {"hidden": [(64, 32)], "epochs": [200]},
+    "LogisticRegression": {"l2": [1e-3, 1e-1, 1.0]},
+}
+
+FULL_GRIDS = {
+    # config.py:80-83
+    "RandomForest": {"n_estimators": [50, 100, 200], "max_depth": [5, 10],
+                     "min_samples_split": [2]},
+    # config.py:107-113
+    "GradientBoosting": {"learning_rate": [0.01, 0.1],
+                         "n_estimators": [100, 200], "max_depth": [3]},
+    # config.py:115-119 (max_samples/max_features become depth variants in
+    # the deterministic numpy bagger)
+    "Bagging": {"n_estimators": [10, 50], "max_depth": [10, 12, 14]},
+    # config.py:102-105
+    "AdaBoost": {"n_estimators": [100, 200],
+                 "learning_rate": [0.1, 0.5, 1.0]},
+    # config.py:121-127
+    "XGBoost": {"max_depth": [3, 4, 5], "learning_rate": [0.01, 0.1, 0.5],
+                "n_estimators": [50, 100, 150, 200], "gamma": [0.0, 0.1, 1.0]},
+    # config.py:96-101
+    "MLP": {"hidden": [(64, 32)], "epochs": [200, 500]},
+    # config.py:90-93
+    "LogisticRegression": {"l2": [1e-2, 1e-1, 1.0]},
 }
 
 

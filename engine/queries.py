@@ -441,17 +441,22 @@ def _ttf(sf_dir: str):
 
 def matching_models_eval(sf_dir: str):
     """Per-model-family matching evaluation — the reference's Table 6 loop
-    (classifier.py:106-176 over config.py:75-76's model_list): for each of
-    the 5 families, deterministic grid-search CV fit on the blocking-based
-    train matrix, then P/R/F1 + train/inference seconds on the held-out test
-    matrix.  Rows-only (timings are environment-dependent)."""
+    (classifier.py:106-176 over config.py:75-76's six-family model_list,
+    plus LogisticRegression as an extra): for each of the 7 families,
+    deterministic grid-search CV fit on the blocking-based train matrix,
+    then P/R/F1 + train/inference seconds on the held-out test matrix.
+    GEO_FULL_GRIDS=1 switches to the reference-scale FULL_GRIDS
+    (config.py:79-128); the default grids keep the correctness driver
+    bounded.  Rows-only (timings are environment-dependent)."""
     import time
 
     import pandas as pd
 
-    from engine.matching import (DEFAULT_GRIDS, MODEL_REGISTRY, f1_binary,
-                                 grid_search_fit)
+    from engine.matching import (DEFAULT_GRIDS, FULL_GRIDS, MODEL_REGISTRY,
+                                 f1_binary, grid_search_fit)
     from engine.pairs import RATIO_FEATURE_NAMES
+    grids = FULL_GRIDS if os.environ.get("GEO_FULL_GRIDS") == "1" \
+        else DEFAULT_GRIDS
     tr, te, _ = _ttf(sf_dir)
     Xtr = tr[RATIO_FEATURE_NAMES].to_numpy(dtype=np.float64)
     ytr = tr["label"].to_numpy(dtype=np.int8)
@@ -461,7 +466,7 @@ def matching_models_eval(sf_dir: str):
     for name in MODEL_REGISTRY:
         t0 = time.time()
         model, best, cv_f1 = grid_search_fit(
-            name, DEFAULT_GRIDS[name], Xtr, ytr, seed=1)
+            name, grids[name], Xtr, ytr, seed=1)
         train_sec = time.time() - t0
         t0 = time.time()
         pred = model.predict(Xte)

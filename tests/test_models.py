@@ -36,11 +36,29 @@ def test_adaboost_deterministic():
     assert np.array_equal(a._margin(X), b._margin(X))
 
 
-def test_registry_has_five_families():
-    from engine.matching import DEFAULT_GRIDS, MODEL_REGISTRY
+def test_registry_has_seven_families():
+    """The reference's six-family model_list (config.py:75-76) plus the
+    LogisticRegression extra; both grid sets cover every family."""
+    from engine.matching import DEFAULT_GRIDS, FULL_GRIDS, MODEL_REGISTRY
     assert set(MODEL_REGISTRY) == {"RandomForest", "GradientBoosting",
-                                   "Bagging", "AdaBoost", "LogisticRegression"}
+                                   "Bagging", "AdaBoost", "XGBoost", "MLP",
+                                   "LogisticRegression"}
     assert set(DEFAULT_GRIDS) == set(MODEL_REGISTRY)
+    assert set(FULL_GRIDS) == set(MODEL_REGISTRY)
+
+
+def test_xgboost_and_mlp_separate_blobs():
+    from engine.matching import MLP, XGBoost
+    X, y = _blobs()
+    for cls in (XGBoost, MLP):
+        m = cls(random_state=1).fit(X, y)
+        acc = float((m.predict(X) == y).mean())
+        assert acc >= 0.95, (cls.__name__, acc)
+        imp = m.feature_importances_
+        assert imp.shape == (4,) and abs(imp.sum() - 1.0) < 1e-9
+        # deterministic refit
+        m2 = cls(random_state=1).fit(X, y)
+        assert np.array_equal(m.predict_proba(X), m2.predict_proba(X))
 
 
 @pytest.fixture(scope="module")
@@ -53,8 +71,9 @@ def test_models_eval_best_at_least_rf(models_eval):
     df = models_eval
     rf = df[df.model == "RandomForest"].f1.iloc[0]
     assert df.f1.max() >= rf
-    # every tree-ensemble family should clear the flagship quality floor
-    for fam in ("RandomForest", "Bagging", "AdaBoost", "GradientBoosting"):
+    # every tree-ensemble family + the new XGB/MLP slots clear the floor
+    for fam in ("RandomForest", "Bagging", "AdaBoost", "GradientBoosting",
+                "XGBoost", "MLP"):
         assert df[df.model == fam].f1.iloc[0] >= 0.9, fam
     assert (df.train_sec > 0).all() and (df.inference_sec >= 0).all()
 
