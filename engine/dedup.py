@@ -37,20 +37,39 @@ def planted_dup_corpus(docs: ray.data.Dataset) -> ray.data.Dataset:
 def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Keep min(doc_id) per identical text; emit (doc_id, dup_count).
 
-    Hash-partitioned: groupby on a content digest (never ships full text maps
-    anywhere); the winner row is the per-group min.
+    Shape: per-block PARTIAL aggregate on the content digest (combiner —
+    only (digest, min_id, count) rows ride the shuffle, never text), then a
+    coarse 64-bucket shuffle with ONE vectorized pandas aggregate per bucket.
+    A per-digest groupby would pay ~1 ms of per-group overhead on one
+    near-singleton Ray group per distinct document (the shape this repo
+    measured at 75 s / 400k groups and replaced everywhere else).
     """
-    def add_hash(batch: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(t.encode()).hexdigest()
-              for t in batch.column("text").to_pylist()]
-        return batch.append_column("__h", pa.array(hs))
+    from engine.joins import fast_hash64
+    NUM_BUCKETS = 64
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [int(g["doc_id"].min())],
-                             "dup_count": [np.int64(len(g))]})
+    def partial(batch: pa.Table) -> pa.Table:
+        hs = np.asarray([hashlib.md5(t.encode()).hexdigest()
+                         for t in batch.column("text").to_pylist()],
+                        dtype=object)
+        df = pd.DataFrame({"__h": hs,
+                           "doc_id": batch.column("doc_id").to_numpy()})
+        r = df.groupby("__h", as_index=False).agg(
+            doc_id=("doc_id", "min"), n=("doc_id", "size"))
+        return pa.table({
+            "__h": pa.array(r["__h"]),
+            "doc_id": pa.array(r["doc_id"].to_numpy(), type=pa.int64()),
+            "n": pa.array(r["n"].to_numpy().astype(np.int64)),
+            "__b": pa.array((fast_hash64(r["__h"].to_numpy())
+                             % NUM_BUCKETS).astype(np.int64)),
+        })
 
-    return docs.map_batches(add_hash, batch_format="pyarrow") \
-        .groupby("__h").map_groups(keep_first, batch_format="pandas")
+    def bucket_agg(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("__h", as_index=False).agg(
+            doc_id=("doc_id", "min"), dup_count=("n", "sum"))
+        return r[["doc_id", "dup_count"]]
+
+    return docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(bucket_agg, batch_format="pandas")
 
 
 def _shingles(text: str, n: int = 3, pad: bool = False) -> set[str]:

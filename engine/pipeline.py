@@ -113,7 +113,9 @@ def run_flagship(sf_dir: str, n_cands: int | None = None, seed: int = 1,
                  bkafi_dim: int = 6, k: int = 10, neg_num: int = 2,
                  concurrency: int = 4, train_mode: str = "blocking-based",
                  log_transform: bool = False,
-                 model_name: str = "RandomForest", grid: bool = False):
+                 model_name: str = "RandomForest", grid: bool = False,
+                 props: ray.data.Dataset | None = None,
+                 prep: dict | None = None):
     """Full blocking->matching pipeline; returns dict of results/datasets.
 
     ``train_mode``: 'blocking-based' trains the matcher on pairs produced by
@@ -122,11 +124,15 @@ def run_flagship(sf_dir: str, n_cands: int | None = None, seed: int = 1,
     pipelines.py:426-432 / data_partition.py:401-415); 'negative_sampling'
     uses the random negatives from the preparatory phase only.
     ``log_transform`` runs the property stage under log1p normalization (the
-    reference default, config.py:52).
+    reference default, config.py:52).  ``props``/``prep`` let callers share
+    ONE materialized property table and preparatory training pass across
+    several evaluation queries (engine.queries._prep) instead of refitting.
     """
-    props = property_table(sf_dir, n_cands, log_transform=log_transform)
-    prep = prep_train(props, seed=seed, neg_num=neg_num,
-                      model_name=model_name, grid=grid)
+    if props is None:
+        props = property_table(sf_dir, n_cands, log_transform=log_transform)
+    if prep is None:
+        prep = prep_train(props, seed=seed, neg_num=neg_num,
+                          model_name=model_name, grid=grid)
 
     features = blk.select_blocking_features(
         prep["importances"], prep["ratios"], bkafi_dim)
@@ -175,7 +181,9 @@ def run_flagship(sf_dir: str, n_cands: int | None = None, seed: int = 1,
 def prepare_state(sf_dir: str, n_cands: int | None = None, seed: int = 1,
                   bkafi_dim: int = 6, k: int = 5, neg_num: int = 2,
                   concurrency: int = 8, cache: bool = False,
-                  log_transform: bool = False) -> dict:
+                  log_transform: bool = False,
+                  props: ray.data.Dataset | None = None,
+                  prep: dict | None = None) -> dict:
     """Train/prepare everything the apply-path needs (model, blocking
     features, scaler stats, scaled index matrix, index property matrix).
 
@@ -197,8 +205,10 @@ def prepare_state(sf_dir: str, n_cands: int | None = None, seed: int = 1,
         if os.path.exists(cache_path):
             with open(cache_path, "rb") as f:
                 return pickle.load(f)
-    props = property_table(sf_dir, n_cands, log_transform=log_transform)
-    prep = prep_train(props, seed=seed, neg_num=neg_num)
+    if props is None:
+        props = property_table(sf_dir, n_cands, log_transform=log_transform)
+    if prep is None:
+        prep = prep_train(props, seed=seed, neg_num=neg_num)
     features = blk.select_blocking_features(
         prep["importances"], prep["ratios"], bkafi_dim)
     index_feat_df = side_frame(props, "index", ["doc_id", *features])
@@ -344,14 +354,18 @@ def matching_inference_pipeline(docs: ray.data.Dataset, state: dict,
 
 def train_test_features(sf_dir: str, seed: int = 1, bkafi_dim: int = 6,
                         k: int = 5, neg_num: int = 2, concurrency: int = 4,
-                        log_transform: bool = False):
+                        log_transform: bool = False,
+                        props: ray.data.Dataset | None = None,
+                        prep: dict | None = None):
     """Blocking-based train + test pair-feature matrices — the matching
     evaluation inputs (reference pipelines.py:426-432, 516-523: train pairs
     from a blocker pass over train cands, test pairs over test cands).
     Returns (train_df, test_df, prep) with canonical (cand_id, index_id)
-    ordering."""
-    props = property_table(sf_dir, log_transform=log_transform)
-    prep = prep_train(props, seed=seed, neg_num=neg_num)
+    ordering.  ``props``/``prep`` share one training pass (see run_flagship)."""
+    if props is None:
+        props = property_table(sf_dir, log_transform=log_transform)
+    if prep is None:
+        prep = prep_train(props, seed=seed, neg_num=neg_num)
     features = blk.select_blocking_features(
         prep["importances"], prep["ratios"], bkafi_dim)
     index_feat_df = side_frame(props, "index", ["doc_id", *features])

@@ -35,12 +35,15 @@ _FLAGSHIP_CACHE: dict[tuple, dict] = {}
 
 
 def _flagship(sf_dir: str, k: int):
-    """run_flagship once per (sf, k) — geo_match / geo_blocking_metrics
-    share the result instead of re-training."""
+    """run_flagship once per (sf, k), on the SHARED property table and
+    preparatory training pass (_prep) — geo_match / geo_blocking_metrics /
+    the recall-grid / model-eval queries all train once per sf."""
     key = (sf_dir, k)
     if key not in _FLAGSHIP_CACHE:
         from engine.pipeline import run_flagship
-        _FLAGSHIP_CACHE[key] = run_flagship(sf_dir, seed=1, bkafi_dim=6, k=k)
+        props, prep = _prep(sf_dir)
+        _FLAGSHIP_CACHE[key] = run_flagship(sf_dir, seed=1, bkafi_dim=6, k=k,
+                                            props=props, prep=prep)
     return _FLAGSHIP_CACHE[key]
 
 
@@ -400,8 +403,9 @@ def geo_contamination(sf_dir: str):
     from engine.pipeline import matching_inference_pipeline, prepare_state
     from engine import matching
     from engine.pairs import RATIO_FEATURE_NAMES
+    props, prep = _prep(sf_dir)
     state = prepare_state(sf_dir, seed=1, bkafi_dim=6, k=5, concurrency=4,
-                          cache=True)
+                          cache=True, props=props, prep=prep)
     scored = matching_inference_pipeline(corpus_dataset(sf_dir), state,
                                          concurrency=4)
     # rebuild features deterministically, contaminate, re-predict
@@ -420,11 +424,13 @@ _PREP_CACHE: dict[str, tuple] = {}
 
 
 def _prep(sf_dir: str):
-    """(props, prep) memoized per sf — several evaluation queries share one
-    preparatory training pass instead of refitting."""
+    """(props, prep) memoized per sf — THE single preparatory training pass:
+    the flagship, train/test-features, recall-grid, std-criterion, dirty and
+    contamination queries all derive from this one fit (round-2 had three
+    separate training caches; a full driver run now trains once per sf)."""
     if sf_dir not in _PREP_CACHE:
-        from engine.pipeline import prep_train, property_table
-        props = property_table(sf_dir)
+        from engine.pipeline import prep_train
+        props = _props(sf_dir)
         _PREP_CACHE[sf_dir] = (props, prep_train(props, seed=1))
     return _PREP_CACHE[sf_dir]
 
@@ -435,7 +441,9 @@ _TTF_CACHE: dict[str, tuple] = {}
 def _ttf(sf_dir: str):
     if sf_dir not in _TTF_CACHE:
         from engine.pipeline import train_test_features
-        _TTF_CACHE[sf_dir] = train_test_features(sf_dir, seed=1)
+        props, prep = _prep(sf_dir)
+        _TTF_CACHE[sf_dir] = train_test_features(sf_dir, seed=1,
+                                                 props=props, prep=prep)
     return _TTF_CACHE[sf_dir]
 
 

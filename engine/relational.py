@@ -145,22 +145,34 @@ def supplier_part_join(sf_dir: str) -> ray.data.Dataset:
 
 def events_running(sf_dir: str) -> ray.data.Dataset:
     """Per-user running aggregates ordered by (ts, event_id): row_number and
-    running max(value) — the sorted-window-per-key recipe (ray_guide.md
-    'Streaming-shaped workloads': groupby(key).map_groups over the ordered
-    group).  Max/count only, so floats stay order-independent-exact."""
+    running max(value).  Max/count only, so floats stay
+    order-independent-exact.
+
+    Shape: users hash into 64 coarse shuffle buckets; inside each bucket ONE
+    sort by (user_id, ts, event_id) + vectorized groupby cumcount/cummax
+    covers every user — a per-user ``groupby.map_groups`` would pay ~1 ms of
+    Ray per-group overhead on one near-singleton group per user."""
     import pandas as pd
     ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    NUM_BUCKETS = 64
 
-    def window(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def tag(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy()
+        return b.append_column(
+            "__b", pa.array((u % NUM_BUCKETS).astype(np.int64)))
+
+    def window_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
         return pd.DataFrame({
             "user_id": g["user_id"].to_numpy(),
             "event_id": g["event_id"].to_numpy(),
-            "rn": np.arange(1, len(g) + 1, dtype=np.int64),
-            "run_max": g["value"].cummax().to_numpy(),
+            "rn": (grp.cumcount() + 1).to_numpy().astype(np.int64),
+            "run_max": grp["value"].cummax().to_numpy(),
         })
 
-    return ds.groupby("user_id").map_groups(window, batch_format="pandas")
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__b").map_groups(window_bucket, batch_format="pandas")
 
 
 def events_asof_join(sf_dir: str) -> ray.data.Dataset:
