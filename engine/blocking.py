@@ -259,7 +259,8 @@ def bkafi_nn_dataset(cand_props: ray.data.Dataset, index_df: pd.DataFrame,
     cands = cand_props.select_columns(["doc_id", *features]) \
         .repartition(concurrency * 4)
     nn = cands.map_batches(KnnActor, batch_format="pyarrow", batch_size=1024,
-                           concurrency=(1, concurrency))
+                           concurrency=(1, concurrency),
+                           max_restarts=0)
     return nn, time.time() - start
 
 
@@ -544,7 +545,7 @@ def cell_blocking(props: ray.data.Dataset, res: int = 9, ring: int = 1,
         local_pairs_bucket, batch_format="pandas")
 
     def add_cand_bucket(batch: pa.Table) -> pa.Table:
-        num = np.asarray(batch.column("cand_id").to_pylist()).astype(np.int64)
+        num = pc.cast(batch.column("cand_id"), pa.int64()).to_numpy()
         return batch.append_column(
             "__cb", pa.array((num % NUM_BUCKETS).astype(np.int64)))
 

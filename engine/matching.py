@@ -722,4 +722,5 @@ def predict_dataset(ds: ray.data.Dataset, model, feature_cols: list[str],
             return batch
 
     return ds.map_batches(PredictActor, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=(1, concurrency))
+                          batch_size=batch_size, concurrency=(1, concurrency),
+                          max_restarts=0)

@@ -73,8 +73,12 @@ def pair_features_dataset(pairs: ray.data.Dataset,
                     name, pa.array(feats[:, j], type=pa.float64()))
             return batch
 
+    # max_restarts=0: the actor holds only a plasma ref fetched in __init__;
+    # losing it just re-runs the task, and 0 silences Ray's false-positive
+    # constructor-arguments-in-object-store restart warning (ray#53727)
     return pairs.map_batches(RatioActor, batch_format="pyarrow",
-                             batch_size=16384, concurrency=(1, concurrency))
+                             batch_size=16384, concurrency=(1, concurrency),
+                             max_restarts=0)
 
 
 BROADCAST_MAX_SIDE_ROWS = 2_000_000  # ~430 MB of f64 side matrix per side

@@ -58,10 +58,10 @@ def _flat_cands(props: ray.data.Dataset) -> ray.data.Dataset:
     import pyarrow.compute as pc
 
     def filt(b: pa.Table) -> pa.Table:
-        ids = np.asarray([int(d) for d in b.column("doc_id").to_pylist()])
-        mask = (np.asarray(b.column("source").to_pylist()) == "cands") \
-            & (ids % 5 == 0)
-        return b.filter(pa.array(mask))
+        ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy()
+        src = pc.equal(b.column("source"), pa.scalar("cands")) \
+            .to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(src & (ids % 5 == 0)))
 
     return props.map_batches(filt, batch_format="pyarrow")
 
@@ -90,7 +90,7 @@ def geo_properties_roofs(sf_dir: str):
 
     def pick(b: pa.Table) -> pa.Table:
         b = b.filter(pc.equal(b.column("source"), pa.scalar("cands")))
-        ks = np.asarray([int(d) for d in b.column("doc_id").to_pylist()])
+        ks = pc.cast(b.column("doc_id"), pa.int64()).to_numpy()
         b = b.append_column("roof", pa.array((ks % 5).astype(np.int32)))
         return b.select(["doc_id", "roof", "bounding_box_width",
                          "bounding_box_length", "height_diff", "volume",
@@ -122,7 +122,7 @@ def geo_pip(sf_dir: str):
 
     def mk_points(b: pa.Table) -> pa.Table:
         b = b.filter(pc.equal(b.column("source"), pa.scalar("cands")))
-        ks = np.asarray([int(d) for d in b.column("doc_id").to_pylist()])
+        ks = pc.cast(b.column("doc_id"), pa.int64()).to_numpy()
         x0 = b.column("x0").to_numpy()
         y0 = b.column("y0").to_numpy()
         px = x0 + ((ks * 48271 + 11) % 320) / 8.0 + 0.0625
@@ -151,11 +151,13 @@ def geo_pip(sf_dir: str):
 def _flat_side(props: ray.data.Dataset, source: str,
                cols: list[str]) -> ray.data.Dataset:
     """Flat-roof (key % 5 == 0) rows of one side, narrow columns."""
+    import pyarrow.compute as pc
+
     def pick(b: pa.Table) -> pa.Table:
-        ids = np.asarray([int(d) for d in b.column("doc_id").to_pylist()])
-        mask = (np.asarray(b.column("source").to_pylist()) == source) \
-            & (ids % 5 == 0)
-        return b.filter(pa.array(mask)).select(cols)
+        ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy()
+        src = pc.equal(b.column("source"), pa.scalar(source)) \
+            .to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(src & (ids % 5 == 0))).select(cols)
 
     return props.map_batches(pick, batch_format="pyarrow")
 
@@ -214,16 +216,17 @@ def geo_blocking_recall_grid(sf_dir: str):
         "doc_id", prep["test_ids"]).materialize()
     n_inter = len(set(prep["test_ids"]) & set(prep["index_ids"]))
     frames = []
-    # dims spanning the reference's 1..24 sweep (pipelines.py:381-394);
-    # ks are free (rank-table filters)
-    for dim in (1, 2, 4, 6, 8, 12, 16, 20, 24):
+    # the reference's FULL sweep: bkafi_dim 1..24 x cand_pairs_per_item 1..20
+    # (pipelines.py:381-394 over config.py:60-61's lists); each dim is one
+    # blocker pass, ks are free rank-table filters on the rank-21 nn table
+    for dim in range(1, 25):
         feats = blk.select_blocking_features(prep["importances"],
                                              prep["ratios"], dim)
         index_df = side_frame(props, "index", ["doc_id", *feats])
         nn, _ = blk.bkafi_nn_dataset(cands, index_df, feats, dim,
                                      concurrency=4)
         frames.append(metrics.blocking_recall(
-            nn.materialize(), n_inter, ks=[1, 5, 10, 20]))
+            nn.materialize(), n_inter, ks=list(range(1, 21))))
     return pd.concat(frames, ignore_index=True)
 
 
@@ -367,7 +370,8 @@ def geo_block_cells(sf_dir: str):
     props = _props(sf_dir)
 
     def flat(b: pa.Table) -> pa.Table:
-        ids = np.asarray([int(d) for d in b.column("doc_id").to_pylist()])
+        import pyarrow.compute as pc
+        ids = pc.cast(b.column("doc_id"), pa.int64()).to_numpy()
         return b.filter(pa.array(ids % 5 == 0))
 
     flat_props = props.select_columns(["doc_id", "source", "cx", "cy"]) \
@@ -587,6 +591,24 @@ def geo_match_concat(sf_dir: str):
     return tec
 
 
+def contrastive_matching(sf_dir: str):
+    """Contrastive-head matching baseline (reference
+    contrastive_training_matching_with contamination.py:74-131: Siamese
+    encoder -> |emb_a - emb_b| -> Linear(d,128)->ReLU->Linear(128,1), BCE on
+    blocking-based train pairs, scored on blocking-based test pairs).  The
+    encoder is the declared media-feature stub; the head is the seeded
+    deterministic MLP.  Emits (cand_id, index_id, label, pred).  Rows-only;
+    quality floor + contamination delta asserted in tests."""
+    from engine import contrastive
+    from engine.multimodal import media_features
+    tr, te, _ = _ttf(sf_dir)
+    cand_feats, index_feats = contrastive.media_feature_frames(
+        media_features(corpus_dataset(sf_dir)))
+    head = contrastive.fit_contrastive_head(tr, cand_feats, index_feats,
+                                            seed=1)
+    return contrastive.score_pairs(head, te, cand_feats, index_feats)
+
+
 def geo_blocking_dirty(sf_dir: str):
     """Dirty-split blocking evaluation (reference data_partition_dirty.py:
     112-127): 20% of the sampled test cands are removed from the index side,
@@ -767,6 +789,7 @@ QUERIES = {
     "geo_blocking_dirty": geo_blocking_dirty,
     "geo_blocking_recall_std": geo_blocking_recall_std,
     "geo_match_concat": geo_match_concat,
+    "contrastive_matching": contrastive_matching,
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,

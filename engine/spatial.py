@@ -230,4 +230,5 @@ def knn_join(cands: ray.data.Dataset, index_df: "pd.DataFrame", k: int = 5,
             })
 
     return cands.map_batches(KnnActor, batch_format="pyarrow",
-                             batch_size=1024, concurrency=(1, concurrency))
+                             batch_size=1024, concurrency=(1, concurrency),
+                             max_restarts=0)

@@ -78,6 +78,43 @@ def test_models_eval_best_at_least_rf(models_eval):
     assert (df.train_sec > 0).all() and (df.inference_sec >= 0).all()
 
 
+def test_contrastive_head_quality_and_contamination_delta(ray_session):
+    """The contrastive |diff| head clears a strong F1 floor on the clean
+    blocking-based test pairs (matched docs share media features, so the
+    head must learn the near-zero-diff rule), and contaminating the
+    index-side features at scoring time degrades F1 — the reference's
+    contamination experiment shape."""
+    import pandas as pd
+
+    from engine import contrastive
+    from engine.corpus import corpus_dataset
+    from engine.matching import f1_binary
+    from engine.multimodal import media_features
+    from engine.queries import _ttf
+    tr, te, _ = _ttf(SF)
+    cand_feats, index_feats = contrastive.media_feature_frames(
+        media_features(corpus_dataset(SF)))
+    head = contrastive.fit_contrastive_head(tr, cand_feats, index_feats)
+    clean = contrastive.score_pairs(head, te, cand_feats, index_feats)
+    f1c, _, _ = f1_binary(clean.label.to_numpy(), clean.pred.to_numpy())
+    assert f1c >= 0.9, f1c
+    # deterministic refit
+    again = contrastive.score_pairs(
+        contrastive.fit_contrastive_head(tr, cand_feats, index_feats),
+        te, cand_feats, index_feats)
+    assert clean.equals(again)
+    # contaminate 50% of index-side feature vectors (seeded), rescore
+    rng = np.random.default_rng(1)
+    dirty = index_feats.copy()
+    mask = rng.random(len(dirty)) < 0.5
+    dirty.loc[mask, "feature"] = [
+        (np.asarray(f) + rng.standard_normal(len(f))).tolist()
+        for f in dirty.loc[mask, "feature"]]
+    cont = contrastive.score_pairs(head, te, cand_feats, dirty)
+    f1d, _, _ = f1_binary(cont.label.to_numpy(), cont.pred.to_numpy())
+    assert f1d < f1c, (f1d, f1c)
+
+
 def test_concat_variant_runs_and_ratios_beat_it(ray_session):
     """The concatenation pair-feature variant (process_pairs.py:30-40) runs
     end to end; the RATIO features dominate it — the reference's stated
