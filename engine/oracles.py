@@ -596,6 +596,44 @@ FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
+# Media-feature stage (engine/multimodal.py): the declared stub decode is
+# bytes of md5(media_ref) L2-normalized — squares/sums are exact ints, sqrt
+# and the divisions are correctly rounded, so all 8 feature columns are
+# bit-exact.  Corpus rows replicate engine/corpus.py:_gen_batch (cands for
+# every key, index for matched keys + one extra at key+10^7).
+_MM_BYTES = ",\n         ".join(
+    f"CAST((hh >> {8 * j}) & CAST(255 AS UBIGINT) AS DOUBLE) AS b{j}"
+    for j in range(8))
+_MM_SQ = " + ".join(f"b{j}*b{j}" for j in range(8))
+_MM_F = ",\n       ".join(f"b{j} / nrm AS f{j}" for j in range(8))
+
+MULTIMODAL_FEATURES = f"""
+WITH h AS (
+  SELECT doc_id AS k,
+         ((doc_id * 1000003 + 7) % 1000000007) * 1103515245 + 54321 AS h2
+  FROM documents
+), rws AS (
+  SELECT CAST(k AS VARCHAR) AS doc_id, 'cands' AS source,
+         'png://' || k || '/0' AS media_ref FROM h
+  UNION ALL
+  SELECT CAST(k AS VARCHAR), 'index', 'png://' || k || '/0'
+  FROM h WHERE (((h2 // 9801000000) // 27) % 100) < 85
+  UNION ALL
+  SELECT CAST(k + 10000000 AS VARCHAR), 'index',
+         'png://' || (k + 10000000) || '/0' FROM h
+), bb AS (
+  SELECT doc_id, source, media_ref,
+         {_MM_BYTES}
+  FROM (SELECT doc_id, source, media_ref,
+               md5_number_upper(media_ref) AS hh FROM rws)
+), nn AS (
+  SELECT *, sqrt({_MM_SQ}) AS nrm FROM bb
+)
+SELECT doc_id, source, media_ref, CAST(2 AS INTEGER) AS "offset",
+       {_MM_F}
+FROM nn
+"""
+
 # all-roof-type subset: bbox, height, counts, and EXACT volume closed forms.
 # The kernel accumulates the integer-dyadic 6V numerator and divides once,
 # so SQL replicates with the same single division: (6V_num)/6.

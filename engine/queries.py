@@ -752,8 +752,26 @@ def sim_knn_ivf(sf_dir: str):
 
 
 def multimodal_features(sf_dir: str):
-    from engine.multimodal import media_features
-    return media_features(corpus_dataset(sf_dir))
+    """Media-span feature stage with the feature vector flattened to
+    SQL-exact f0..f7 columns (the stub decode — md5 bytes, L2-normalized —
+    is integer/correctly-rounded arithmetic, so the whole stage is
+    oracle-checked bit-for-bit; the list-typed `media_features` table stays
+    the internal API for the embedding blocker / contrastive head)."""
+    from engine.joins import list_column_matrix
+    from engine.multimodal import FEATURE_DIM, media_features
+    feats = media_features(corpus_dataset(sf_dir))
+
+    def flat(b: pa.Table) -> pa.Table:
+        m = list_column_matrix(b.column("feature"))
+        cols = {"doc_id": b.column("doc_id"), "source": b.column("source"),
+                "media_ref": b.column("media_ref"),
+                "offset": b.column("offset")}
+        for j in range(FEATURE_DIM):
+            vals = m[:, j] if m.size else np.empty(0)
+            cols[f"f{j}"] = pa.array(vals, type=pa.float64())
+        return pa.table(cols)
+
+    return feats.map_batches(flat, batch_format="pyarrow")
 
 
 QUERIES = {
@@ -837,4 +855,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": o.DEDUP_SIMHASH,
         "dedup_simhash_pairs": o.DEDUP_SIMHASH_PAIRS,
         "sim_knn_cosine": o.SIM_KNN,
+        "multimodal_features": o.MULTIMODAL_FEATURES,
     }
