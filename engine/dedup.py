@@ -229,20 +229,35 @@ def _distinct_pairs(cand: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("__pb").map_groups(dedup_bucket, batch_format="pandas")
 
 
+def _batch_shingle_hashes(texts: list[str], n: int, pad: bool):
+    """Per-batch shingle hashing with md5 computed once per UNIQUE shingle:
+    returns (counts per doc, uint64 hash stream in doc order).  The
+    per-shingle interpreter loop runs over the (much smaller) unique set."""
+    sh_lists = [sorted(_shingles(t, n, pad=pad)) for t in texts]
+    counts = np.fromiter((len(s) for s in sh_lists), dtype=np.int64,
+                         count=len(sh_lists))
+    flat = [s for sl in sh_lists for s in sl]
+    if not flat:
+        return counts, np.empty(0, dtype=np.uint64)
+    uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+    hs = np.empty(len(uniq), dtype=np.uint64)
+    for i, s in enumerate(uniq):
+        hs[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+    return counts, hs[inv]
+
+
 def _shingle_signatures(docs: ray.data.Dataset, n: int,
                         pad: bool) -> ray.data.Dataset:
     """(doc_id, shs: list<uint64>) per-doc sorted shingle-hash signatures —
     int lists flow zero-copy into numpy for the vectorized verify."""
     def sig(batch: pa.Table) -> pa.Table:
-        ids, sets_ = [], []
-        for d, t in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("text").to_pylist()):
-            ids.append(int(d))
-            hs = np.fromiter(
-                (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-                 for s in _shingles(t, n, pad=pad)), dtype=np.uint64)
-            sets_.append(np.sort(hs))
-        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+        texts = batch.column("text").to_pylist()
+        counts, stream = _batch_shingle_hashes(texts, n, pad)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        sets_ = [np.sort(stream[s:s + c])
+                 for s, c in zip(starts, counts)]
+        ids = pc.cast(batch.column("doc_id"), pa.int64())
+        return pa.table({"doc_id": ids,
                          "shs": pa.array(sets_, type=pa.list_(pa.uint64()))})
 
     return docs.map_batches(sig, batch_format="pyarrow")
@@ -330,14 +345,15 @@ def minhash_signatures(docs: ray.data.Dataset, num_perm: int = 64,
     b64 = np.asarray([int(x) for x in b], dtype=np.uint64)
 
     def sig(batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch.column("text").to_pylist():
-            hs = np.asarray(
-                [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
-                 for s in _shingles(t, n, pad=True)], dtype=np.uint64)
-            # universal hash family: (a*h + b) mod 2^64 (wraparound ok)
-            m = (hs[:, None] * a64[None, :] + b64[None, :]).min(axis=0)
-            out.append(m.astype(np.int64))
+        texts = batch.column("text").to_pylist()
+        counts, stream = _batch_shingle_hashes(texts, n, pad=True)
+        # universal hash family: (a*h + b) mod 2^64 (wraparound ok) over the
+        # whole shingle stream at once, then a per-doc segmented min
+        vals = stream[:, None] * a64[None, :] + b64[None, :]
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        mins = np.minimum.reduceat(vals, starts, axis=0) \
+            if len(vals) else np.empty((0, len(a64)), dtype=np.uint64)
+        out = mins.astype(np.int64)
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "sig": pa.array([o.tolist() for o in out],

@@ -389,7 +389,8 @@ def test_ngram_df_cap_lossless(ray_session):
                                    df_cap=10**6).to_pandas())
     small = norm(ngram_jaccard_pairs(docs, threshold=0.5,
                                      df_cap=5).to_pandas())
-    assert ((big.a_id == 5) & (big.b_id == 121)).any()
+    assert ((big.a_id == 5) & (big.b_id == 120)).any()   # exact dup
+    assert ((big.a_id == 9) & (big.b_id == 121)).any()   # near-dup
     assert len(big) == len(small)
     assert (big.a_id.to_numpy() == small.a_id.to_numpy()).all()
     assert (big.b_id.to_numpy() == small.b_id.to_numpy()).all()
