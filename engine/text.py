@@ -81,11 +81,16 @@ def fingerprint(docs: ray.data.Dataset, window: int = 8) -> ray.data.Dataset:
 
     def fp(batch: pa.Table) -> pa.Table:
         import hashlib
+        texts = batch.column("text").to_pylist()
+        # md5 once per UNIQUE token in the batch (the rolling recurrence
+        # below stays per-doc exact-int arithmetic)
+        tok_lists = [t.split(" ") for t in texts]
+        uniq = sorted({w for ws in tok_lists for w in ws})
+        hmap = {w: int.from_bytes(hashlib.md5(w.encode()).digest()[:8],
+                                  "little") for w in uniq}
         mins, fulls = [], []
-        for t in batch.column("text").to_pylist():
-            toks = t.split(" ")
-            hs = [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
-                  for w in toks]
+        for t, toks in zip(texts, tok_lists):
+            hs = [hmap[w] for w in toks]
             if len(hs) < window:
                 mins.append(min(hs) if hs else 0)
             else:
