@@ -413,6 +413,19 @@ WITH t AS (
 SELECT doc_id, lang AS pred_lang FROM r WHERE rnk = 1
 """
 
+# BPE-ish token counting (engine/text.py token_counts): the simplified
+# pretokenizer pattern is RE2-compatible, and Python re / DuckDB RE2 agree
+# leftmost-first on it (verified over the corpus).  All columns are ints.
+TEXT_TOKENS = r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'
+           )) AS n_subtokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
 _DUP_CORPUS = """
 WITH corpus AS (
   SELECT doc_id, text FROM documents

@@ -696,6 +696,12 @@ def text_fingerprint(sf_dir: str):
     return text.fingerprint(_docs(sf_dir))
 
 
+def text_tokens(sf_dir: str):
+    """Whitespace + BPE-ish-regex token counting (compiled-regex actor
+    stage); int columns, oracle-exact."""
+    return text.token_counts(_docs(sf_dir))
+
+
 def dedup_exact(sf_dir: str):
     return dedup.exact_dedup(dedup.planted_dup_corpus(_docs(sf_dir)))
 
@@ -811,6 +817,7 @@ QUERIES = {
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_tokens": text_tokens,
     "dedup_exact": dedup_exact,
     "dedup_ngram": dedup_ngram,
     "dedup_minhash": dedup_minhash,
@@ -850,6 +857,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": o.TEXT_STATS,
         "text_langid": o.TEXT_LANGID,
         "text_fingerprint": o.TEXT_FINGERPRINT,
+        "text_tokens": o.TEXT_TOKENS,
         "dedup_exact": o.DEDUP_EXACT,
         "dedup_ngram": o.DEDUP_NGRAM,
         "dedup_simhash": o.DEDUP_SIMHASH,

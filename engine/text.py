@@ -73,6 +73,42 @@ def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
     return docs.map_batches(LangActor, batch_format="pyarrow", concurrency=(1, 2))
 
 
+# GPT-2-style pretokenizer pattern, simplified to the RE2-compatible subset
+# (no lookahead) so the DuckDB oracle's regexp_extract_all agrees with
+# Python's re: contractions | space?-letters | space?-digits |
+# space?-punctuation-run | whitespace-run.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Token counting: whitespace tokens + BPE-ish subword pretokens +
+    chars — the training-data-pipeline budget columns.  The regex compiles
+    ONCE per actor (stateful stage); all outputs are ints, so SQL-exact."""
+    class TokenActor:
+        def __init__(self):
+            import re
+            self.rx = re.compile(BPE_PATTERN)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            n_ws = np.empty(len(texts), dtype=np.int64)
+            n_sub = np.empty(len(texts), dtype=np.int64)
+            n_ch = np.empty(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts):
+                n_ws[i] = t.count(" ") + 1
+                n_sub[i] = len(self.rx.findall(t))
+                n_ch[i] = len(t)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "n_ws_tokens": pa.array(n_ws),
+                "n_subtokens": pa.array(n_sub),
+                "n_chars": pa.array(n_ch),
+            })
+
+    return docs.map_batches(TokenActor, batch_format="pyarrow",
+                            concurrency=(1, 2))
+
+
 def fingerprint(docs: ray.data.Dataset, window: int = 8) -> ray.data.Dataset:
     """Rolling-hash document fingerprint: min of 64-bit rolling hashes over
     token windows (winnowing-style), plus a full-text hash."""

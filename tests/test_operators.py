@@ -397,6 +397,27 @@ def test_ngram_df_cap_lossless(ray_session):
     assert np.allclose(big.jaccard.to_numpy(), small.jaccard.to_numpy())
 
 
+def test_token_counts_bpe_regex(ray_session):
+    """BPE-ish pretoken counting: contractions split, punctuation runs
+    grouped, whitespace runs counted once — matches re.findall on the
+    compiled pattern (the SQL oracle uses the identical RE2 pattern)."""
+    import re
+
+    import pyarrow as pa
+    from engine.text import BPE_PATTERN, token_counts
+    texts = ["the cat's hat", "a1b2", "x  y", "don't stop!!!", "word"]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+        "text": pa.array(texts)}))
+    out = token_counts(docs).to_pandas().sort_values("doc_id")
+    rx = re.compile(BPE_PATTERN)
+    for i, t in enumerate(texts):
+        row = out[out.doc_id == i].iloc[0]
+        assert row.n_subtokens == len(rx.findall(t)), t
+        assert row.n_ws_tokens == len(t.split(" ")), t
+        assert row.n_chars == len(t)
+
+
 def test_bucketed_hash_join_matches_pandas(ray_session):
     import pandas as pd
     import ray.data
