@@ -62,17 +62,24 @@ def unique_vertices(surfaces: list[np.ndarray]) -> np.ndarray:
 
 def _polygon_area(poly: np.ndarray) -> float:
     """Triangle-fan surface area of one (possibly non-planar) polygon
-    (object_properties.py:124-143).  Vectorized over the fan; each triangle
-    term is exact for dyadic rectangle faces, so summation order is free."""
+    (object_properties.py:124-143).  Scalar fan: the mesh polygons are 3-4
+    vertices, where per-call numpy slicing overhead dominated (profiled);
+    term order matches the previous vectorized sum, and each triangle term
+    is exact for dyadic rectangle faces, so summation order is free anyway."""
     n = len(poly)
     if n < 3:
         return 0.0
-    u = poly[1:n - 1] - poly[0]
-    v = poly[2:n] - poly[0]
-    cx = u[:, 1] * v[:, 2] - u[:, 2] * v[:, 1]
-    cy = u[:, 2] * v[:, 0] - u[:, 0] * v[:, 2]
-    cz = u[:, 0] * v[:, 1] - u[:, 1] * v[:, 0]
-    return float((0.5 * np.sqrt(cx * cx + cy * cy + cz * cz)).sum())
+    p = poly.tolist()
+    x0, y0, z0 = p[0]
+    acc = 0.0
+    for i in range(1, n - 1):
+        ux, uy, uz = p[i][0] - x0, p[i][1] - y0, p[i][2] - z0
+        vx, vy, vz = p[i + 1][0] - x0, p[i + 1][1] - y0, p[i + 1][2] - z0
+        cx = uy * vz - uz * vy
+        cy = uz * vx - ux * vz
+        cz = ux * vy - uy * vx
+        acc += 0.5 * math.sqrt(cx * cx + cy * cy + cz * cz)
+    return acc
 
 
 def mesh_area(surfaces: list[np.ndarray]) -> float:
@@ -85,19 +92,21 @@ def mesh_area(surfaces: list[np.ndarray]) -> float:
 def mesh_volume(surfaces: list[np.ndarray]) -> float:
     """|Σ det(v0, vi, vi+1)| / 6 over the triangle fans of all surfaces
     (object_properties.py:203-215).  The numerator is accumulated first and
-    divided once, so dyadic inputs give an exact result."""
+    divided once, so dyadic inputs give an exact result.  Scalar fan (see
+    _polygon_area)."""
     acc = 0.0
     for poly in surfaces:
         n = len(poly)
         if n < 3:
             continue
-        v0 = poly[0]
-        v1 = poly[1:n - 1]
-        v2 = poly[2:n]
-        det = (v0[0] * (v1[:, 1] * v2[:, 2] - v1[:, 2] * v2[:, 1])
-               - v0[1] * (v1[:, 0] * v2[:, 2] - v1[:, 2] * v2[:, 0])
-               + v0[2] * (v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0]))
-        acc += float(det.sum())
+        p = poly.tolist()
+        x0, y0, z0 = p[0]
+        for i in range(1, n - 1):
+            x1, y1, z1 = p[i]
+            x2, y2, z2 = p[i + 1]
+            acc += (x0 * (y1 * z2 - z1 * y2)
+                    - y0 * (x1 * z2 - z1 * x2)
+                    + z0 * (x1 * y2 - y1 * x2))
     return abs(acc) / 6.0
 
 
@@ -179,18 +188,21 @@ def hull_area_2d(points: np.ndarray) -> float:
     return abs(acc) / 2.0
 
 
-def convex_hull_3d_volume(points: np.ndarray) -> float:
+def convex_hull_3d_volume(points: np.ndarray,
+                          assume_unique: bool = False) -> float:
     """Volume of the 3D convex hull via incremental quickhull (pure numpy).
 
     Signed tetra determinants are accumulated and divided by 6 once at the
     end (exact for dyadic inputs).  Degenerate (rank<3) inputs return 0.0.
+    ``assume_unique``: skip the defensive np.unique when the caller already
+    deduplicated (compute_properties passes unique_vertices output).
     """
-    faces = _quickhull_3d(points)
+    faces = _quickhull_3d(points, assume_unique=assume_unique)
     if faces is None:
         return 0.0
     acc = 0.0
     for (a, b, c) in faces:
-        acc += float(
+        acc += (
             a[0] * (b[1] * c[2] - b[2] * c[1])
             - a[1] * (b[0] * c[2] - b[2] * c[0])
             + a[2] * (b[0] * c[1] - b[1] * c[0])
@@ -198,10 +210,15 @@ def convex_hull_3d_volume(points: np.ndarray) -> float:
     return abs(acc) / 6.0
 
 
-def _quickhull_3d(points: np.ndarray):
+def _quickhull_3d(points: np.ndarray, assume_unique: bool = False):
     """Incremental convex hull; returns list of outward-oriented triangles
-    (as vertex-coordinate triples) or None when degenerate."""
-    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    (as vertex-coordinate triples) or None when degenerate.  Face-local
+    arithmetic is scalar Python: hull inputs here are ~16-point building
+    vertex sets, where tiny-array numpy call overhead dominated (profiled
+    ~40% of the whole property kernel before)."""
+    pts = np.asarray(points, dtype=np.float64)
+    if not assume_unique:
+        pts = np.unique(pts, axis=0)
     n = len(pts)
     if n < 4:
         return None
@@ -225,21 +242,38 @@ def _quickhull_3d(points: np.ndarray):
     if h[i3] == 0.0:
         return None
 
-    interior = (pts[i0] + pts[i1] + pts[i2] + pts[i3]) / 4.0
+    P = pts.tolist()
+    px, py, pz = (np.ascontiguousarray(pts[:, 0]),
+                  np.ascontiguousarray(pts[:, 1]),
+                  np.ascontiguousarray(pts[:, 2]))
+    ix_, iy_, iz_ = ((P[i0][0] + P[i1][0] + P[i2][0] + P[i3][0]) / 4.0,
+                     (P[i0][1] + P[i1][1] + P[i2][1] + P[i3][1]) / 4.0,
+                     (P[i0][2] + P[i1][2] + P[i2][2] + P[i3][2]) / 4.0)
     faces: list[tuple] = []     # oriented index triples
     d_cols: list[np.ndarray] = []  # signed distance of every point to each face
+    face_far: list[tuple] = []  # cached (argmax idx, max value) per face —
+    #                             a face's distance column never changes, so
+    #                             the far-point scan needn't re-argmax it
     alive: list[bool] = []
 
     def add_face(a, b, c):
-        u, v = pts[b] - pts[a], pts[c] - pts[a]
-        nrm = np.array((u[1] * v[2] - u[2] * v[1],
-                        u[2] * v[0] - u[0] * v[2],
-                        u[0] * v[1] - u[1] * v[0]))
-        if (interior - pts[a]) @ nrm > 0:
+        ax, ay, az = P[a]
+        bx, by, bz = P[b]
+        cx, cy, cz = P[c]
+        ux, uy, uz = bx - ax, by - ay, bz - az
+        vx, vy, vz = cx - ax, cy - ay, cz - az
+        nx = uy * vz - uz * vy
+        ny = uz * vx - ux * vz
+        nz = ux * vy - uy * vx
+        if (ix_ - ax) * nx + (iy_ - ay) * ny + (iz_ - az) * nz > 0:
             b, c = c, b
-            nrm = -nrm
+            nx, ny, nz = -nx, -ny, -nz
         faces.append((a, b, c))
-        d_cols.append(pts @ nrm - nrm @ pts[a])
+        col = (px * nx + py * ny + pz * nz
+               - (ax * nx + ay * ny + az * nz))
+        d_cols.append(col)
+        j = int(np.argmax(col))
+        face_far.append((j, float(col[j])))
         alive.append(True)
         return len(faces) - 1
 
@@ -255,9 +289,8 @@ def _quickhull_3d(points: np.ndarray):
         for fi in range(len(faces)):
             if not alive[fi]:
                 continue
-            col = d_cols[fi]
-            j = int(np.argmax(col))
-            if col[j] > 1e-12 * max(1.0, float(abs(col[j]))):
+            j, mx = face_far[fi]
+            if mx > 1e-12 * max(1.0, abs(mx)):
                 far, fsel = j, fi
                 break
         if fsel < 0:
@@ -277,7 +310,7 @@ def _quickhull_3d(points: np.ndarray):
             if cnt == 1:
                 add_face(ea, eb, far)
 
-    return [(pts[f[0]], pts[f[1]], pts[f[2]]) for fi, f in enumerate(faces)
+    return [(P[f[0]], P[f[1]], P[f[2]]) for fi, f in enumerate(faces)
             if alive[fi]]
 
 
@@ -326,7 +359,7 @@ def compute_properties(surfaces: list[np.ndarray], log_transform: bool = False,
     perimeter = mesh_perimeter(surfaces, zs)
     volume = mesh_volume(surfaces)
     ch_per = hull_perimeter_2d(verts[:, :2])
-    ch_vol = convex_hull_3d_volume(verts)
+    ch_vol = convex_hull_3d_volume(verts, assume_unique=True)
 
     cov = np.cov(verts, rowvar=False)
     eigenvalues, eigenvectors = np.linalg.eigh(cov)
