@@ -230,14 +230,27 @@ def _quickhull_3d(points: np.ndarray, assume_unique: bool = False):
         if i0 == i1:
             return None
     d = pts - pts[i0]
-    line = pts[i1] - pts[i0]
-    cross = np.cross(d, line)
-    dist2 = np.einsum("ij,ij->i", cross, cross)
+    lx, ly, lz = (float(pts[i1, 0] - pts[i0, 0]),
+                  float(pts[i1, 1] - pts[i0, 1]),
+                  float(pts[i1, 2] - pts[i0, 2]))
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    # manual cross/norm: same elementwise formulas as np.cross (bit-equal),
+    # without the moveaxis wrapper overhead on these tiny arrays
+    cx = dy * lz - dz * ly
+    cy = dz * lx - dx * lz
+    cz = dx * ly - dy * lx
+    dist2 = cx * cx + cy * cy + cz * cz
     i2 = int(np.argmax(dist2))
     if dist2[i2] <= 0.0:
         return None
-    normal = np.cross(pts[i1] - pts[i0], pts[i2] - pts[i0])
-    h = d @ normal
+    ux, uy, uz = lx, ly, lz
+    vx, vy, vz = (float(pts[i2, 0] - pts[i0, 0]),
+                  float(pts[i2, 1] - pts[i0, 1]),
+                  float(pts[i2, 2] - pts[i0, 2]))
+    nx0 = uy * vz - uz * vy
+    ny0 = uz * vx - ux * vz
+    nz0 = ux * vy - uy * vx
+    h = dx * nx0 + dy * ny0 + dz * nz0
     i3 = int(np.argmax(np.abs(h)))
     if h[i3] == 0.0:
         return None
