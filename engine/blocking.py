@@ -353,36 +353,54 @@ def kabsch_transform(source: np.ndarray, target: np.ndarray) -> np.ndarray:
 
 def embedding_nn_dataset(cand_emb: ray.data.Dataset, index_emb: pd.DataFrame,
                          nn_param: int = NN_PARAM,
-                         concurrency: int = 4) -> ray.data.Dataset:
+                         concurrency: int = 4,
+                         exact: bool = False) -> ray.data.Dataset:
     """Embedding blocker (the reference's ViT path, blocking.py:176-191):
     inner-product top-k over per-object embedding vectors, as a streaming
     map_batches with the (small-side) index embedding matrix broadcast —
     the same physical shape as its bkafi sibling, never a driver-side
     all-pairs matmul.  ``cand_emb`` streams (doc_id, feature); ties by
-    numeric doc id like every other blocker."""
-    iv = np.asarray(index_emb["feature"].tolist(), dtype=np.float64)
+    numeric doc id like every other blocker.
+
+    ``exact``: SQL-replicable cosine precision mode — expects integer-valued
+    ``raw`` feature vectors plus a precomputed ``norm`` column on both sides
+    and scores cosine as int_dot / (norm_c * norm_i).  The integer dot is
+    exact in f64 regardless of summation order, and the two remaining
+    roundings (one multiply, one divide) are single IEEE operations, so a
+    DuckDB oracle reproduces every score bit-for-bit.  The default mode dots
+    the pre-normalized float vectors (the shape a real CLIP/ViT encoder
+    output takes)."""
+    from engine.joins import list_column_matrix
+    feat_col = "raw" if exact else "feature"
+    iv = np.asarray(index_emb[feat_col].tolist(), dtype=np.float64)
     idx_ids = index_emb["doc_id"].to_numpy()
     idx_num = index_emb["doc_id"].astype(np.int64).to_numpy()
-    ref = ray.put((iv, idx_ids, idx_num))
+    idx_norm = index_emb["norm"].to_numpy(dtype=np.float64) if exact else None
+    ref = ray.put((iv, idx_ids, idx_num, idx_norm))
 
     def topk(batch: pa.Table) -> pa.Table:
-        iv_, ids_, num_ = ray.get(ref)
-        cv = np.asarray(batch.column("feature").to_pylist(), dtype=np.float64)
+        iv_, ids_, num_, inorm_ = ray.get(ref)
+        cv = list_column_matrix(batch.column(feat_col))
         sim = cv @ iv_.T
+        if exact:
+            cnorm = batch.column("norm").to_numpy(zero_copy_only=False)
+            sim = sim / (cnorm[:, None] * inorm_[None, :])
         kk = min(nn_param, sim.shape[1])
-        part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
         rows = np.arange(len(cv))[:, None]
-        order = np.lexsort((num_[part], -sim[rows, part]), axis=1)
-        top = np.take_along_axis(part, order, axis=1)
+        # full tie-aware ranking (score desc, numeric id asc) — argpartition
+        # alone breaks boundary ties arbitrarily
+        order = np.lexsort((np.broadcast_to(num_, sim.shape), -sim),
+                           axis=1)[:, :kk]
         n = len(cv)
         return pa.table({
             "cand_id": pa.array(
                 np.repeat(np.asarray(batch.column("doc_id").to_pylist(),
                                      dtype=object), kk).tolist(),
                 type=pa.string()),
-            "index_id": pa.array(ids_[top].ravel().tolist(), type=pa.string()),
+            "index_id": pa.array(ids_[order].ravel().tolist(),
+                                 type=pa.string()),
             "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int32), n)),
-            "score": pa.array(sim[rows, top].ravel(), type=pa.float64()),
+            "score": pa.array(sim[rows, order].ravel(), type=pa.float64()),
         })
 
     return cand_emb.repartition(concurrency * 4).map_batches(

@@ -19,14 +19,17 @@ import ray.data
 FEATURE_DIM = 8
 
 
-def _decode_image_stub(media_ref: str) -> np.ndarray:
+def _decode_image_stub(media_ref: str) -> tuple[np.ndarray, np.ndarray, float]:
     """STUB decode: a real implementation would fetch + decode the image and
     run the vision encoder here (raise NotImplementedError if wired to real
-    refs).  Deterministic fake: unit-normalized bytes of md5(media_ref)."""
+    refs).  Deterministic fake: unit-normalized bytes of md5(media_ref).
+    Returns (normalized feature, raw integer-valued bytes, norm) — the raw
+    bytes + norm let downstream cosine scoring use exact-integer dot products
+    (order-independent, hence SQL-replicable bit-for-bit)."""
     h = hashlib.md5(media_ref.encode()).digest()
     v = np.frombuffer(h[:FEATURE_DIM], dtype=np.uint8).astype(np.float64)
-    n = np.linalg.norm(v)
-    return v / n if n else v
+    n = float(np.sqrt(float((v * v).sum())))
+    return (v / n if n else v), v, n
 
 
 class MediaFeatureActor:
@@ -43,7 +46,8 @@ class MediaFeatureActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         has_source = "source" in batch.column_names
         sources = batch.column("source").to_pylist() if has_source             else [""] * batch.num_rows
-        doc_ids, srcs, refs, offsets, feats = [], [], [], [], []
+        doc_ids, srcs, refs, offsets = [], [], [], []
+        feats, raws, norms = [], [], []
         for d, so, spans in zip(batch.column("doc_id").to_pylist(), sources,
                                 batch.column("spans").to_pylist()):
             for s in spans:
@@ -53,13 +57,18 @@ class MediaFeatureActor:
                 srcs.append(so)
                 refs.append(s["media_ref"])
                 offsets.append(s["offset"])
-                feats.append(self.decode(s["media_ref"]).tolist())
+                f, r, n = self.decode(s["media_ref"])
+                feats.append(f.tolist())
+                raws.append(r.tolist())
+                norms.append(n)
         return pa.table({
             "doc_id": pa.array(doc_ids, type=pa.string()),
             "source": pa.array(srcs, type=pa.string()),
             "media_ref": pa.array(refs, type=pa.string()),
             "offset": pa.array(offsets, type=pa.int32()),
             "feature": pa.array(feats, type=pa.list_(pa.float64())),
+            "raw": pa.array(raws, type=pa.list_(pa.float64())),
+            "norm": pa.array(norms, type=pa.float64()),
         })
 
 

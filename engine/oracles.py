@@ -647,6 +647,52 @@ SELECT doc_id, source, media_ref, CAST(2 AS INTEGER) AS "offset",
 FROM nn
 """
 
+# Embedding blocker, exact-cosine precision mode (engine/blocking.py
+# embedding_nn_dataset(exact=True), the reference's ViT IndexFlatIP slot,
+# blocking.py:176-191): cosine = (sum of raw-byte products) / (nrm_c *
+# nrm_i).  The byte products/sums are exact integers in f64 (order-free),
+# leaving exactly one multiply + one divide rounding — the same two IEEE
+# operations the engine performs — so every score is bit-equal.  Top-5 per
+# cand, ties by numeric index id.
+_MM_DOT = " + ".join(f"c.b{j}*i.b{j}" for j in range(8))
+
+GEO_BLOCK_EMBEDDING = f"""
+WITH h AS (
+  SELECT doc_id AS k,
+         ((doc_id * 1000003 + 7) % 1000000007) * 1103515245 + 54321 AS h2
+  FROM documents
+), rws AS (
+  SELECT CAST(k AS VARCHAR) AS doc_id, 'cands' AS source,
+         'png://' || k || '/0' AS media_ref FROM h
+  UNION ALL
+  SELECT CAST(k AS VARCHAR), 'index', 'png://' || k || '/0'
+  FROM h WHERE (((h2 // 9801000000) // 27) % 100) < 85
+  UNION ALL
+  SELECT CAST(k + 10000000 AS VARCHAR), 'index',
+         'png://' || (k + 10000000) || '/0' FROM h
+), bb AS (
+  SELECT doc_id, source,
+         {_MM_BYTES}
+  FROM (SELECT doc_id, source,
+               md5_number_upper(media_ref) AS hh FROM rws)
+), nn AS (
+  SELECT *, sqrt({_MM_SQ}) AS nrm FROM bb
+), s AS (
+  SELECT c.doc_id AS cand_id, i.doc_id AS index_id,
+         ({_MM_DOT}) / (c.nrm * i.nrm) AS score,
+         CAST(i.doc_id AS BIGINT) AS inum
+  FROM (SELECT * FROM nn WHERE source = 'cands') c
+  CROSS JOIN (SELECT * FROM nn WHERE source = 'index') i
+), r AS (
+  SELECT cand_id, index_id, score,
+         row_number() OVER (PARTITION BY cand_id
+                            ORDER BY score DESC, inum ASC) AS rnk
+  FROM s
+)
+SELECT cand_id, index_id, CAST(rnk AS INTEGER) AS rank, score
+FROM r WHERE rnk <= 5
+"""
+
 # all-roof-type subset: bbox, height, counts, and EXACT volume closed forms.
 # The kernel accumulates the integer-dyadic 6V numerator and divides once,
 # so SQL replicates with the same single division: (6V_num)/6.

@@ -382,9 +382,12 @@ def geo_block_cells(sf_dir: str):
 def geo_block_embedding(sf_dir: str):
     """Embedding blocker over per-doc media-span features (the reference's
     ViT-B/32 baseline slot: encoder stage -> faiss IndexFlatIP top-k,
-    blocking.py:176-191).  Rows-only."""
+    blocking.py:176-191).  Runs the operator's exact-cosine precision mode
+    (integer dot / norm product) so the whole stage — stub encode, cosine,
+    top-5 ranking with numeric-id ties — is DuckDB-oracle-checked
+    bit-for-bit."""
     import pyarrow.compute as pc
-    from engine.blocking import get_blocker
+    from engine.blocking import embedding_nn_dataset
     from engine.multimodal import media_features
     feats = media_features(corpus_dataset(sf_dir)).materialize()
 
@@ -395,8 +398,9 @@ def geo_block_embedding(sf_dir: str):
             batch_format="pyarrow")
 
     # cands stream; the index embedding matrix is the broadcast small side
-    index = side("index").select_columns(["doc_id", "feature"]).to_pandas()
-    return get_blocker("embedding")(side("cands"), index, nn_param=5)
+    index = side("index").select_columns(
+        ["doc_id", "raw", "norm"]).to_pandas()
+    return embedding_nn_dataset(side("cands"), index, nn_param=5, exact=True)
 
 
 def geo_contamination(sf_dir: str):
@@ -864,4 +868,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": o.DEDUP_SIMHASH_PAIRS,
         "sim_knn_cosine": o.SIM_KNN,
         "multimodal_features": o.MULTIMODAL_FEATURES,
+        "geo_block_embedding": o.GEO_BLOCK_EMBEDDING,
     }
