@@ -16,9 +16,11 @@ import ray.data
 
 
 def blocking_recall(nn: ray.data.Dataset, n_intersection: int,
-                    ks: list[int]) -> pd.DataFrame:
+                    ks: list[int], digits: int | None = 3) -> pd.DataFrame:
     """recall@k = |{distinct true pairs found within rank<=k}| / |cands∩index|
-    (pipelines.py:369-394).  One pass: true hits' ranks -> histogram."""
+    (pipelines.py:369-394).  One pass: true hits' ranks -> histogram.
+    ``digits=None`` keeps the exact IEEE division (SQL-oracle mode); the
+    default 3 matches the reference's CSV rounding."""
     hits = nn.map_batches(
         lambda b: b.filter(pc.equal(b.column("cand_id"), b.column("index_id"))),
         batch_format="pyarrow").select_columns(["bkafi_dim", "cand_id", "rank"]).to_pandas()
@@ -28,8 +30,10 @@ def blocking_recall(nn: ray.data.Dataset, n_intersection: int,
     for dim, g in hits.groupby("bkafi_dim"):
         for k in ks:
             found = int((g["rank"] <= k).sum())
+            r = found / n_intersection
             out.append({"bkafi_dim": int(dim), "k": int(k),
-                        "blocking_recall": round(found / n_intersection, 3)})
+                        "blocking_recall": round(r, digits)
+                        if digits is not None else r})
     return pd.DataFrame(out)
 
 

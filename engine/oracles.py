@@ -283,6 +283,23 @@ SELECT CAST(6 AS INTEGER) AS bkafi_dim, cand_id, index_id,
 FROM j WHERE rnk <= 21
 """
 
+# Blocking recall / PC@K over the same exact-f64 nn table
+# (pipelines.py:369-394): best rank per true pair (cand_id = index_id),
+# denominator |cands ∩ index|; exact IEEE division, no rounding.
+GEO_BLOCKING_METRICS = _BKAFI_CTES + """
+, tru AS (
+  SELECT count(*) AS n_inter FROM cands c JOIN idx i ON c.id = i.id
+), hits AS (
+  SELECT cand_id, min(rnk) AS best
+  FROM j WHERE cand_id = index_id AND rnk <= 21
+  GROUP BY cand_id
+), ks AS (SELECT unnest([1, 5, 10, 20]) AS k)
+SELECT CAST(6 AS INTEGER) AS bkafi_dim, CAST(ks.k AS INTEGER) AS k,
+       CAST(count(h.cand_id) AS DOUBLE) / MAX(t.n_inter) AS blocking_recall
+FROM ks CROSS JOIN tru t LEFT JOIN hits h ON h.best <= ks.k
+GROUP BY ks.k
+"""
+
 # percentile threshold sweep over the same exact-f64 flat-subset nn table
 # (bkafi_with_threshold.py:131-141, 232-269): thresholds replicate
 # np.percentile's virtual-index + lerp arithmetic over the matched-pair

@@ -231,11 +231,35 @@ def geo_blocking_recall_grid(sf_dir: str):
 
 
 def geo_blocking_metrics(sf_dir: str):
-    """Blocking recall / PC@K table for the flagship run (rows-only)."""
-    # recall is computed from the full rank-21 nn table, so the k=5 flagship
-    # result (shared with geo_match) carries identical recall values
-    res = _flagship(sf_dir, k=5)
-    return res["blocking_recall"]
+    """Blocking recall / PC@K table (pipelines.py:369-394) over the exact-f64
+    flat-subset bkafi blocker — the same rank-21 nn table geo_block_bkafi
+    checks — so the recall arithmetic itself (distinct-true-pair best ranks,
+    |cands∩index| denominator) is DuckDB-oracle-checked bit-for-bit.  The
+    full-corpus flagship recalls stay reported by geo_blocking_recall_grid /
+    _std (rows-only: the f32-tile fast path is not SQL arithmetic)."""
+    import pyarrow.compute as pc
+    from engine import blocking as blk
+    from engine import metrics
+    props = _props(sf_dir)
+    cands = _flat_side(props, "cands", ["doc_id", *_FIXED_BLOCK_FEATURES])
+    index_df = _flat_side(
+        props, "index", ["doc_id", *_FIXED_BLOCK_FEATURES]).to_pandas()
+    nn, _ = blk.bkafi_nn_dataset(cands, index_df, _FIXED_BLOCK_FEATURES,
+                                 bkafi_dim=6, exact=True)
+    # |cands ∩ index|: the index id set is already the blocker's declared
+    # broadcast small side — reuse it as a broadcast membership filter
+    idx_ids = ray.put(index_df["doc_id"].to_numpy())
+
+    def inter(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id").to_pylist(), dtype=object)
+        hit = np.isin(ids, ray.get(idx_ids))
+        return pa.table({"n": pa.array([int(hit.sum())], type=pa.int64())})
+
+    from ray.data.aggregate import Sum
+    n_inter = cands.map_batches(inter, batch_format="pyarrow") \
+        .aggregate(Sum("n"))["sum(n)"]
+    return metrics.blocking_recall(nn, n_inter, ks=[1, 5, 10, 20],
+                                   digits=None)
 
 
 # ---------------------------------------------------------------------------
@@ -869,4 +893,5 @@ def oracle_sql() -> dict[str, str]:
         "sim_knn_cosine": o.SIM_KNN,
         "multimodal_features": o.MULTIMODAL_FEATURES,
         "geo_block_embedding": o.GEO_BLOCK_EMBEDDING,
+        "geo_blocking_metrics": o.GEO_BLOCKING_METRICS,
     }
