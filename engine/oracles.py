@@ -474,6 +474,63 @@ JOIN sz sb ON sb.doc_id = p.b_id
 WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.6
 """
 
+# MinHash-LSH near-dup pairs (engine/dedup.py minhash_lsh_pairs, defaults
+# num_perm=64 / bands=16 / threshold=0.5 / n=3 / max_bucket=2000): the 64
+# permutation constants are the engine's own seeded draws embedded as
+# literals; (h*a + b) mod 2^64 in HUGEINT equals the engine's uint64
+# wraparound; banding groups by the exact 4-value band tuple (the engine's
+# md5-of-bytes band key is equality-equivalent); stop-bucket cap and the
+# exact-Jaccard >= 0.5 verify replicate bit-for-bit (one int division).
+def _minhash_perm_values() -> str:
+    from engine.dedup import _perm_params
+    a, b = _perm_params(64)
+    return ", ".join(f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)"
+                     for j in range(64))
+
+
+DEDUP_MINHASH = _DUP_CORPUS + f"""
+, t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM corpus),
+g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      FROM t WHERE len(toks) >= 3),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS s
+  FROM g
+  UNION
+  SELECT doc_id, text AS s FROM t WHERE len(toks) < 3
+), hh AS (
+  SELECT doc_id, CAST(md5_number_upper(s) AS HUGEINT) AS h FROM sh
+), perms(j, a, b) AS (VALUES {_minhash_perm_values()}),
+sig AS (
+  SELECT doc_id, j,
+         MIN((h * a + b) % 18446744073709551616::HUGEINT) AS m
+  FROM hh CROSS JOIN perms GROUP BY doc_id, j
+), bsig AS (
+  SELECT doc_id, j // 4 AS band,
+         string_agg(CAST(m AS VARCHAR), ',' ORDER BY j) AS bh
+  FROM sig GROUP BY doc_id, j // 4
+), bok AS (
+  SELECT band, bh FROM bsig
+  GROUP BY band, bh HAVING COUNT(*) BETWEEN 2 AND 2000
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bok k
+  JOIN bsig a ON a.band = k.band AND a.bh = k.bh
+  JOIN bsig b ON b.band = k.band AND b.bh = k.bh AND a.doc_id < b.doc_id
+), sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS it
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.a_id
+  JOIN sh b ON b.doc_id = c.b_id AND b.s = a.s
+  GROUP BY c.a_id, c.b_id
+)
+SELECT i.a_id, i.b_id, CAST(it AS DOUBLE) / (sa.n + sb.n - it) AS jaccard
+FROM inter i
+JOIN sz sa ON sa.doc_id = i.a_id
+JOIN sz sb ON sb.doc_id = i.b_id
+WHERE CAST(it AS DOUBLE) / (sa.n + sb.n - it) >= 0.5
+"""
+
 SIM_KNN = """
 WITH q AS (
   SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

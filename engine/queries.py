@@ -894,4 +894,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": o.MULTIMODAL_FEATURES,
         "geo_block_embedding": o.GEO_BLOCK_EMBEDDING,
         "geo_blocking_metrics": o.GEO_BLOCKING_METRICS,
+        "dedup_minhash": o.DEDUP_MINHASH,
     }
