@@ -657,3 +657,70 @@ def embedding_near_dup(emb: ray.data.Dataset, threshold: float = 0.95,
                                          pa.scalar(threshold)))
 
     return j.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over duplicate pairs
+# ---------------------------------------------------------------------------
+
+def dup_clusters(pairs: ray.data.Dataset,
+                 max_iters: int = 50) -> ray.data.Dataset:
+    """Connected components over a (a_id, b_id) duplicate-pair table:
+    one row per distinct doc appearing in a pair, labeled with the MIN doc id
+    of its component (the canonical representative a dedup pass keeps).
+
+    Distributed min-label propagation (the classic BSP / "hash-to-min"
+    shape): labels start at min(self, neighbors); each round ships every
+    node's current label across its edges (bucketed hash join, never a
+    driver-side graph) and takes a per-node min (one Ray sort-based
+    aggregate).  Labels decrease monotonically, so a round with an unchanged
+    global label sum is a fixpoint; rounds needed = component diameter.
+    Near-dup components are shallow (dup clusters are quasi-cliques — the
+    pair generators emit most intra-cluster edges directly), so a handful of
+    rounds suffices at any corpus size; ``max_iters`` bounds the worst case.
+    Each round is a full streaming pass — nothing driver-side but the
+    1-row convergence aggregate.
+    """
+    from ray.data.aggregate import Min, Sum
+    from engine.joins import bucketed_hash_join
+
+    pairs = pairs.select_columns(["a_id", "b_id"]).materialize()
+
+    def undirected(batch: pa.Table) -> pa.Table:
+        a = batch.column("a_id").to_numpy()
+        b = batch.column("b_id").to_numpy()
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs.map_batches(undirected, batch_format="pyarrow").materialize()
+
+    # initial labels: per-node min over (self, every neighbor)
+    def self_and_nbr(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("src"),
+                         "lbl": pc.min_element_wise(batch.column("src"),
+                                                    batch.column("dst"))})
+
+    labels = edges.map_batches(self_and_nbr, batch_format="pyarrow") \
+        .groupby("node").aggregate(Min("lbl")) \
+        .map_batches(lambda b: b.rename_columns(["node", "lbl"]),
+                     batch_format="pyarrow").materialize()
+    total = labels.aggregate(Sum("lbl"))["sum(lbl)"]
+
+    for _ in range(max_iters):
+        # ship labels across edges: neighbor's label is a candidate for mine
+        msgs = bucketed_hash_join(edges, labels, "src", "node") \
+            .map_batches(lambda b: pa.table({"node": b.column("dst"),
+                                             "lbl": b.column("lbl")}),
+                         batch_format="pyarrow")
+        labels = labels.union(msgs).groupby("node").aggregate(Min("lbl")) \
+            .map_batches(lambda b: b.rename_columns(["node", "lbl"]),
+                         batch_format="pyarrow").materialize()
+        new_total = labels.aggregate(Sum("lbl"))["sum(lbl)"]
+        if new_total == total:   # monotone-decreasing -> fixpoint
+            break
+        total = new_total
+
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b.column("node").cast(pa.int64()),
+                            "cluster_id": b.column("lbl").cast(pa.int64())}),
+        batch_format="pyarrow")

@@ -456,7 +456,7 @@ SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
 FROM corpus GROUP BY text
 """
 
-DEDUP_NGRAM = _DUP_CORPUS + """
+_NGRAM_BODY = """
 , t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
 g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM t),
 sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS s FROM g),
@@ -466,6 +466,9 @@ pairs AS (
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
+"""
+
+DEDUP_NGRAM = _DUP_CORPUS + _NGRAM_BODY + """
 SELECT p.a_id, p.b_id,
        CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
 FROM pairs p
@@ -473,6 +476,31 @@ JOIN sz sa ON sa.doc_id = p.a_id
 JOIN sz sb ON sb.doc_id = p.b_id
 WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.6
 """
+
+# Near-dup clustering (engine/dedup.py dup_clusters): connected components
+# over the verified ngram-Jaccard pairs; cluster id = MIN doc id reachable.
+# The engine's min-label propagation fixpoint equals the recursive-CTE
+# transitive closure's per-node min (both compute min over the component).
+DEDUP_CLUSTERS = (
+    _DUP_CORPUS.replace("WITH corpus", "WITH RECURSIVE corpus")
+    + _NGRAM_BODY + """
+, vp AS (
+  SELECT p.a_id, p.b_id
+  FROM pairs p
+  JOIN sz sa ON sa.doc_id = p.a_id
+  JOIN sz sb ON sb.doc_id = p.b_id
+  WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= 0.6
+), e AS (
+  SELECT a_id AS x, b_id AS y FROM vp
+  UNION
+  SELECT b_id AS x, a_id AS y FROM vp
+), r(x, y) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM e)
+  UNION
+  SELECT e.x, r.y FROM e JOIN r ON r.x = e.y
+)
+SELECT x AS doc_id, MIN(y) AS cluster_id FROM r GROUP BY x
+""")
 
 # MinHash-LSH near-dup pairs (engine/dedup.py minhash_lsh_pairs, defaults
 # num_perm=64 / bands=16 / threshold=0.5 / n=3 / max_bucket=2000): the 64

@@ -739,6 +739,16 @@ def dedup_ngram(sf_dir: str):
                                      threshold=0.6)
 
 
+def dedup_clusters(sf_dir: str):
+    """Near-dup clustering: connected components (distributed min-label
+    propagation) over the verified ngram-Jaccard pairs; one row per doc in a
+    dup pair, cluster_id = min doc id of its component — the canonical
+    representative a dedup pass keeps."""
+    pairs = dedup.ngram_jaccard_pairs(
+        dedup.planted_dup_corpus(_docs(sf_dir)), threshold=0.6)
+    return dedup.dup_clusters(pairs)
+
+
 def dedup_minhash(sf_dir: str):
     return dedup.minhash_lsh_pairs(dedup.planted_dup_corpus(_docs(sf_dir)),
                                    threshold=0.5)
@@ -848,6 +858,7 @@ QUERIES = {
     "text_tokens": text_tokens,
     "dedup_exact": dedup_exact,
     "dedup_ngram": dedup_ngram,
+    "dedup_clusters": dedup_clusters,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -895,4 +906,5 @@ def oracle_sql() -> dict[str, str]:
         "geo_block_embedding": o.GEO_BLOCK_EMBEDDING,
         "geo_blocking_metrics": o.GEO_BLOCKING_METRICS,
         "dedup_minhash": o.DEDUP_MINHASH,
+        "dedup_clusters": o.DEDUP_CLUSTERS,
     }

@@ -168,6 +168,20 @@ def test_minhash_lsh_recovers_planted_dups(ray_session):
     assert hit >= 0.95, f"LSH recall {hit}"
 
 
+def test_dup_clusters_chain_transitivity(ray_session):
+    """Connected components must close transitive chains the pair list only
+    gives as consecutive edges: 1-2, 2-3, 3-4 -> one cluster labeled 1."""
+    from engine.dedup import dup_clusters
+    pairs = ray.data.from_arrow(pa.table({
+        "a_id": pa.array([1, 2, 3, 10, 20, 21], type=pa.int64()),
+        "b_id": pa.array([2, 3, 4, 11, 21, 22], type=pa.int64()),
+    }))
+    out = dup_clusters(pairs).to_pandas().sort_values("doc_id")
+    got = dict(zip(out.doc_id, out.cluster_id))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
 def test_png_render_valid_and_deterministic(ray_session):
     """K5 renderer: valid PNG structure (magic + IHDR + zlib-decodable
     IDAT), deterministic bytes, actor-pool stage end to end."""
