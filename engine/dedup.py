@@ -382,24 +382,34 @@ def minhash_lsh_pairs(docs: ray.data.Dataset, num_perm: int = 64,
     sigs = minhash_signatures(docs, num_perm, n)
 
     NUM_BUCKETS = 64
-    from engine.joins import fast_hash64  # hoisted: workers can't import late
+    from engine.joins import list_column_matrix  # hoisted: workers can't import late
 
     def band_explode(batch: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes = [], [], []
-        for d, s in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("sig").to_pylist()):
-            arr = np.asarray(s, dtype=np.int64)
-            for bi in range(bands):
-                chunk = arr[bi * rows_per_band:(bi + 1) * rows_per_band]
-                ids.append(d)
-                band_ids.append(bi)
-                band_hashes.append(hashlib.md5(chunk.tobytes()).hexdigest())
-        t_ = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
-                       "band": pa.array(band_ids, type=pa.int32()),
-                       "bh": pa.array(band_hashes)})
+        """Vectorized: band key = a 64-bit multiply-xor mix of the band's
+        signature values (equality-equivalent to hashing the band tuple —
+        only bucket EQUALITY matters downstream, which the SQL oracle
+        replicates by grouping on the tuple itself)."""
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "band": pa.array([], type=pa.int32()),
+                             "bh": pa.array([], type=pa.int64()),
+                             "__b": pa.array([], type=pa.int64())})
+        M = list_column_matrix(batch.column("sig"), dtype=np.int64) \
+            .view(np.uint64).reshape(n, bands, rows_per_band)
+        mix = np.full((n, bands), 0xcbf29ce484222325, dtype=np.uint64)
+        for r in range(rows_per_band):   # FNV-style fold over the band tuple
+            mix = (mix ^ M[:, :, r]) * np.uint64(0x100000001b3)
+        ids = np.repeat(batch.column("doc_id").to_numpy(), bands)
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+        bh = mix.reshape(-1).view(np.int64)
         # coarse shuffle bucket (all rows of one LSH bucket co-locate)
-        return t_.append_column("__b", pa.array(
-            (fast_hash64(band_hashes) % NUM_BUCKETS).astype(np.int64)))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "band": pa.array(band_ids),
+                         "bh": pa.array(bh),
+                         "__b": pa.array(
+                             (mix.reshape(-1) % np.uint64(NUM_BUCKETS))
+                             .astype(np.int64))})
 
     def pairs_in_shuffle_bucket(g: pd.DataFrame) -> pd.DataFrame:
         """Vectorized pair generation for every (band, bh) bucket in the

@@ -168,6 +168,24 @@ def test_minhash_lsh_recovers_planted_dups(ray_session):
     assert hit >= 0.95, f"LSH recall {hit}"
 
 
+def test_embedding_blocker_exact_tie_order(ray_session):
+    """Exact-cosine mode: equal-score index docs (identical raw vectors)
+    must rank by numeric doc id, and scores must equal intdot/(nc*ni)."""
+    from engine.blocking import embedding_nn_dataset
+    raw = [[3.0, 4.0, 0.0], [3.0, 4.0, 0.0], [0.0, 5.0, 0.0]]
+    idx = pd.DataFrame({"doc_id": ["20", "7", "15"], "raw": raw,
+                        "norm": [5.0, 5.0, 5.0]})
+    cand = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["1"]),
+        "raw": pa.array([[3.0, 4.0, 0.0]]),
+        "norm": pa.array([5.0]),
+    }))
+    out = embedding_nn_dataset(cand, idx, nn_param=3, exact=True) \
+        .to_pandas().sort_values("rank")
+    assert list(out.index_id) == ["7", "20", "15"]  # ties 7<20, then 15
+    assert list(out.score) == [1.0, 1.0, 20.0 / 25.0]
+
+
 def test_dup_clusters_chain_transitivity(ray_session):
     """Connected components must close transitive chains the pair list only
     gives as consecutive edges: 1-2, 2-3, 3-4 -> one cluster labeled 1."""
