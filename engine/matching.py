@@ -22,6 +22,17 @@ import ray
 import ray.data
 
 
+# Set True inside grid-search CV workers so model fits stay single-process
+# there (the outer fan-out already owns the parallelism); the driver's direct
+# fits keep their internal Ray tree-level fan-out.
+_SERIAL_FIT = False
+
+
+def _set_serial_fit(v: bool):
+    global _SERIAL_FIT
+    _SERIAL_FIT = v
+
+
 def _gini_best_split(x: np.ndarray, y: np.ndarray):
     """Best threshold on one feature by Gini gain.  Returns
     (gain, threshold) or None.  Vectorized prefix-sum scan."""
@@ -152,7 +163,7 @@ class RandomForest:
         k = max(1, int(np.sqrt(f))) if self.max_features == "sqrt" else f
         params = dict(random_state=self.random_state, max_depth=self.max_depth,
                       min_samples_split=self.min_samples_split, k=k)
-        if ray.is_initialized() and len(X) * f >= 100_000:
+        if ray.is_initialized() and not _SERIAL_FIT and len(X) * f >= 100_000:
             fit_remote = ray.remote(num_cpus=1)(_fit_forest_tree)
             Xr, yr = ray.put(X), ray.put(y)
             self.trees_ = ray.get([fit_remote.remote(Xr, yr, params, t)
@@ -677,23 +688,48 @@ def f1_binary(y_true, y_pred):
     return 2 * p * r / (p + r) if p + r else 0.0, p, r
 
 
+def _cv_fit_score(X, y, fold, model_name: str, params: dict, f: int, seed: int):
+    """One (param-combo, fold) CV fit+score.  Runs as a Ray task inside
+    grid_search_fit's fan-out; _SERIAL_FIT keeps the model's own tree-level
+    parallelism off there (the fan-out already owns the cluster)."""
+    _set_serial_fit(True)
+    try:
+        tr, te = fold != f, fold == f
+        m = MODEL_REGISTRY[model_name](random_state=seed, **params).fit(
+            X[tr], y[tr])
+        return f1_binary(y[te], m.predict(X[te]))[0]
+    finally:
+        _set_serial_fit(False)
+
+
 def grid_search_fit(model_name: str, grid: dict, X, y, cv: int = 3, seed: int = 1):
-    """Tiny deterministic GridSearchCV analogue (classifier.py:150-163):
-    k-fold CV scored by binary F1, best params re-fit on all data."""
+    """Deterministic GridSearchCV analogue (classifier.py:150-163): k-fold CV
+    scored by binary F1, best params re-fit on all data.  The (combo x fold)
+    CV fits are embarrassingly parallel, so they fan out as one Ray task each
+    over a ray.put-once train matrix; scores are reduced on the driver with
+    the same first-combo-wins tie policy as the serial loop, so results are
+    bit-identical regardless of parallelism."""
     from itertools import product
     cls = MODEL_REGISTRY[model_name]
     keys = sorted(grid)
     n = len(y)
     fold = np.arange(n) % cv
+    combos = [dict(zip(keys, c)) for c in product(*(grid[k] for k in keys))]
+    jobs = [(ci, f) for ci in range(len(combos)) for f in range(cv)]
+    if ray.is_initialized() and len(jobs) > 1:
+        fit_remote = ray.remote(num_cpus=1)(_cv_fit_score)
+        Xr = ray.put(np.ascontiguousarray(X, dtype=np.float64))
+        yr = ray.put(np.asarray(y, dtype=np.int8))
+        foldr = ray.put(fold)
+        scores = ray.get([fit_remote.remote(Xr, yr, foldr, model_name,
+                                            combos[ci], f, seed)
+                          for ci, f in jobs])
+    else:
+        scores = [_cv_fit_score(X, y, fold, model_name, combos[ci], f, seed)
+                  for ci, f in jobs]
     best = None
-    for combo in product(*(grid[k] for k in keys)):
-        params = dict(zip(keys, combo))
-        scores = []
-        for f in range(cv):
-            tr, te = fold != f, fold == f
-            m = cls(random_state=seed, **params).fit(X[tr], y[tr])
-            scores.append(f1_binary(y[te], m.predict(X[te]))[0])
-        score = float(np.mean(scores))
+    for ci, params in enumerate(combos):
+        score = float(np.mean([scores[ci * cv + f] for f in range(cv)]))
         if best is None or score > best[0] + 1e-12:
             best = (score, params)
     model = cls(random_state=seed, **best[1]).fit(X, y)

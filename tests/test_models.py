@@ -61,6 +61,32 @@ def test_xgboost_and_mlp_separate_blobs():
         assert np.array_equal(m.predict_proba(X), m2.predict_proba(X))
 
 
+def test_grid_search_distributed_matches_serial(ray_session):
+    """The Ray fan-out over (combo x fold) CV fits must be bit-identical to
+    the serial loop — same scores, same first-combo-wins tie policy."""
+    from itertools import product
+
+    from engine.matching import (MODEL_REGISTRY, _cv_fit_score, f1_binary,
+                                 grid_search_fit)
+    X, y = _blobs(n=240, seed=7)
+    grid = {"n_estimators": [10, 20], "max_depth": [3, 5]}
+    model, best, cv_f1 = grid_search_fit("RandomForest", grid, X, y, seed=1)
+    # serial reference: same loop, no Ray
+    keys = sorted(grid)
+    fold = np.arange(len(y)) % 3
+    ref = None
+    for combo in product(*(grid[k] for k in keys)):
+        params = dict(zip(keys, combo))
+        scores = [_cv_fit_score(X, y, fold, "RandomForest", params, f, 1)
+                  for f in range(3)]
+        s = float(np.mean(scores))
+        if ref is None or s > ref[0] + 1e-12:
+            ref = (s, params)
+    assert best == ref[1] and abs(cv_f1 - ref[0]) < 1e-15
+    m2 = MODEL_REGISTRY["RandomForest"](random_state=1, **ref[1]).fit(X, y)
+    assert np.array_equal(model.predict(X), m2.predict(X))
+
+
 @pytest.fixture(scope="module")
 def models_eval(ray_session):
     from engine.queries import matching_models_eval
