@@ -548,20 +548,30 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
 
 def planted_neardup_embeddings(emb: ray.data.Dataset) -> ray.data.Dataset:
     """embeddings ∪ jittered copies of every vec_id % 5 == 0 at
-    vec_id+100000 (deterministic ~1% perturbation -> cosine ≈ 0.999), so the
-    near-dup operator has planted positives at any scale."""
+    vec_id+100000 (deterministic ~±1% uniform perturbation -> cosine ≈
+    0.9997), so the near-dup operator has planted positives at any scale.
+
+    The jitter is md5-derived, not RNG-derived, so the whole planting is
+    bit-replicable in the DuckDB oracle: jit[d] = float32(v[d] + 0.02*u -
+    0.01) with u = md5_u64_le(f"{vid}:{d}") / 2^64 — DuckDB's
+    ``md5_number_upper`` is the same first-8-digest-bytes little-endian
+    integer, and its DOUBLE→REAL cast is the same round-to-nearest as
+    numpy's astype(float32) (both verified; see oracles.DEDUP_EMBEDDING)."""
     from engine.joins import list_column_matrix  # driver-level: closure capture
 
     def dup(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy()
         mask = ids % 5 == 0
         keep = batch.filter(pa.array(mask))
-        vecs = list_column_matrix(keep.column("embedding"), dtype=np.float32)
+        vecs = list_column_matrix(keep.column("embedding"))  # f64 of f32 values
         kept_ids = keep.column("vec_id").to_numpy()
-        jit = np.empty_like(vecs)
-        for i, vid in enumerate(kept_ids):
-            rng = np.random.default_rng(9000 + int(vid))
-            jit[i] = vecs[i] + 0.01 * rng.standard_normal(vecs.shape[1]).astype(np.float32)
+        n, dim = vecs.shape if vecs.size else (0, 0)
+        strs = [f"{int(v)}:{d}" for v in kept_ids for d in range(dim)]
+        raw = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+             for s in strs), dtype=np.uint64, count=len(strs))
+        u = raw.astype(np.float64).reshape(n, dim) * 2.0 ** -64
+        jit = (vecs + (0.02 * u - 0.01)).astype(np.float32)
         extra = pa.table({
             "vec_id": pa.array(kept_ids + 100000),
             "embedding": pa.array([v.tolist() for v in jit],
@@ -660,11 +670,16 @@ def embedding_near_dup(emb: ray.data.Dataset, threshold: float = 0.95,
                              "cosine": pa.array([], type=pa.float64())})
         cos = (va * vb).sum(1) / (np.linalg.norm(va, axis=1)
                                   * np.linalg.norm(vb, axis=1))
-        t = pa.table({"a_id": b.column("a_id").cast(pa.int64()),
-                      "b_id": b.column("b_id").cast(pa.int64()),
-                      "cosine": pa.array(cos, type=pa.float64())})
-        return t.filter(pc.greater_equal(t.column("cosine"),
-                                         pa.scalar(threshold)))
+        keepm = cos >= threshold
+        # emitted cosine is quantized to 1e-9 so the value is independent of
+        # float accumulation order (numpy pairwise sum vs the oracle's
+        # sequential SQL sum differ in the last ulps); the threshold test
+        # stays on the raw value
+        cosq = np.floor(cos[keepm] * 1e9) / 1e9
+        return pa.table({
+            "a_id": b.column("a_id").cast(pa.int64()).filter(pa.array(keepm)),
+            "b_id": b.column("b_id").cast(pa.int64()).filter(pa.array(keepm)),
+            "cosine": pa.array(cosq, type=pa.float64())})
 
     return j.map_batches(verify, batch_format="pyarrow")
 

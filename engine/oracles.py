@@ -828,3 +828,103 @@ SELECT CAST(k AS VARCHAR) AS doc_id,
   CASE WHEN roof = 0 THEN 3.0 ELSE 4.0 END AS num_floors
 FROM d
 """
+
+
+# --- LSH-bucketed approximate kNN (engine/similarity.py lsh_knn, defaults
+# bits=4 / seed=11 / k=10 / qid < 20).  The 4 seeded hyperplanes are embedded
+# as DOUBLE[] literals; a vector's bucket bit is sign(v . plane) — the norm
+# factor is positive, so no normalization is needed and the sign is robust to
+# summation-order ulps.  Probing = own bucket + Hamming-1, then exact cosine
+# rank (sim DESC, vec_id ASC) within the probed candidates, exactly the
+# engine's tie policy (rank-only output, like SIM_KNN).
+def _plane_values(planes, bands: int | None = None) -> str:
+    rows = []
+    for i, p in enumerate(planes):
+        vec = ",".join(repr(float(x)) for x in p)
+        if bands is None:
+            rows.append(f"({i}, {1 << i}::BIGINT, [{vec}]::DOUBLE[])")
+        else:
+            bits = len(planes) // bands
+            rows.append(f"({i // bits}, {1 << (i % bits)}::BIGINT, [{vec}]::DOUBLE[])")
+    return ",\n".join(rows)
+
+
+def _rng_planes(shape):
+    import numpy as _np
+    return _np.random.default_rng(11).standard_normal(shape)
+
+
+SIM_KNN_LSH = f"""
+WITH pl(bit, pw, p) AS (VALUES {_plane_values(_rng_planes((4, 64)))}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                       THEN pl.pw ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN pl GROUP BY e.vec_id
+),
+q AS (SELECT vec_id AS qid, bucket AS qb FROM b WHERE vec_id < 20),
+qv AS (SELECT vec_id AS qid, v AS qvec FROM e WHERE vec_id < 20),
+masks(m) AS (VALUES (0),(1),(2),(4),(8)),
+allowed AS (SELECT qid, xor(qb, CAST(m AS BIGINT)) AS ab
+            FROM q CROSS JOIN masks),
+cand AS (
+  SELECT DISTINCT a.qid, b.vec_id FROM allowed a JOIN b ON b.bucket = a.ab
+),
+j AS (
+  SELECT c.qid, c.vec_id, list_cosine_similarity(qv.qvec, e.v) AS sim
+  FROM cand c JOIN qv ON qv.qid = c.qid JOIN e ON e.vec_id = c.vec_id
+),
+r AS (SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+      FROM j)
+SELECT qid, vec_id AS neighbor_id, CAST(rnk AS INTEGER) AS rank
+FROM r WHERE rnk <= 10
+"""
+
+# --- Embedding near-dup (engine/dedup.py planted_neardup_embeddings +
+# embedding_near_dup, defaults bands=8 / bits_per_band=8 / max_bucket=2000 /
+# threshold=0.98).  The planting replicates bit-for-bit: jit[d] =
+# float32(v[d] + 0.02*u - 0.01), u = md5_number_upper('<vid>:<d>') / 2^64
+# (same first-8-digest-bytes little-endian integer and the same
+# round-to-nearest DOUBLE->REAL cast as numpy astype(float32), both verified
+# on this DuckDB).  Banding: 8 independent 8-bit sign-bucket tables over the
+# 64 seeded hyperplanes; (band, bucket) groups sized 2..2000 emit pairs
+# (stop-bucket removal); distinct pairs verify by exact cosine >= 0.98.  The
+# emitted cosine is quantized to 1e-9 on both sides, so the value is
+# independent of float accumulation order.
+DEDUP_EMBEDDING = f"""
+WITH pl(band, pw, p) AS (VALUES {_plane_values(_rng_planes((64, 64)), bands=8)}),
+eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+jit AS (
+  SELECT eb.vec_id + 100000 AS vec_id,
+         list(CAST(eb.v[d.d] +
+              (0.02 * (CAST(md5_number_upper(concat(eb.vec_id, ':', d.d - 1)) AS DOUBLE)
+                       / 18446744073709551616.0) - 0.01) AS REAL)
+              ORDER BY d.d) AS vr
+  FROM eb CROSS JOIN generate_series(1, 64) AS d(d)
+  WHERE eb.vec_id % 5 = 0
+  GROUP BY eb.vec_id
+),
+e AS (SELECT vec_id, v FROM eb
+      UNION ALL SELECT vec_id, CAST(vr AS DOUBLE[]) FROM jit),
+sig AS (
+  SELECT e.vec_id, pl.band,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                       THEN pl.pw ELSE 0 END) AS BIGINT) AS bv
+  FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.band
+),
+ok AS (SELECT band, bv FROM sig GROUP BY band, bv HAVING COUNT(*) BETWEEN 2 AND 2000),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM ok k
+  JOIN sig a ON a.band = k.band AND a.bv = k.bv
+  JOIN sig b ON b.band = k.band AND b.bv = k.bv AND a.vec_id < b.vec_id
+),
+vv AS (
+  SELECT c.a_id, c.b_id, list_cosine_similarity(ea.v, eb2.v) AS cos
+  FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb2 ON eb2.vec_id = c.b_id
+)
+SELECT a_id, b_id, floor(cos * 1e9) / 1e9 AS cosine
+FROM vv WHERE cos >= 0.98
+"""

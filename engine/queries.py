@@ -902,6 +902,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": o.DEDUP_SIMHASH,
         "dedup_simhash_pairs": o.DEDUP_SIMHASH_PAIRS,
         "sim_knn_cosine": o.SIM_KNN,
+        "sim_knn_lsh": o.SIM_KNN_LSH,
+        "dedup_embedding": o.DEDUP_EMBEDDING,
         "multimodal_features": o.MULTIMODAL_FEATURES,
         "geo_block_embedding": o.GEO_BLOCK_EMBEDDING,
         "geo_blocking_metrics": o.GEO_BLOCKING_METRICS,
