@@ -749,3 +749,30 @@ def dup_clusters(pairs: ray.data.Dataset,
         lambda b: pa.table({"doc_id": b.column("node").cast(pa.int64()),
                             "cluster_id": b.column("lbl").cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def semantic_dedup_ids(emb: ray.data.Dataset, threshold: float = 0.98,
+                       **near_dup_kw) -> ray.data.Dataset:
+    """SemDeDup-style corpus-level near-dup REMOVAL (Abbas et al. 2023's
+    keep-one-per-semantic-cluster, on exact pairwise cosine rather than
+    cluster centroids): embedding near-dup pairs -> connected components
+    (dup_clusters) -> drop every component member except its min-id
+    representative.  Returns the KEPT (vec_id) rows of the input corpus.
+
+    Scale shape: the drop set flows through a bucketed anti-join, never a
+    driver collect — at 100 TB a heavily-duplicated corpus makes the
+    exclusion side corpus-scale, so broadcast_semi_join(anti=True) would be
+    the wrong plan."""
+    import pyarrow.compute as pc
+
+    from engine.joins import bucketed_anti_join
+    pairs = embedding_near_dup(emb, threshold=threshold, **near_dup_kw)
+    clusters = dup_clusters(pairs)
+
+    def non_reps(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(b.column("doc_id"), b.column("cluster_id"))
+        return b.filter(keep).select(["doc_id"])
+
+    drops = clusters.map_batches(non_reps, batch_format="pyarrow")
+    ids = emb.select_columns(["vec_id"])
+    return bucketed_anti_join(ids, drops, "vec_id", "doc_id")

@@ -195,3 +195,55 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     return lt.union(rt).groupby("__bucket").map_groups(
         join_group, batch_format="pyarrow")
+
+
+def bucketed_anti_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                       left_key: str, right_key: str,
+                       num_buckets: int = 64) -> ray.data.Dataset:
+    """Partitioned anti join: keeps left rows whose key has NO right match.
+
+    The scale path when the exclusion set is too big to broadcast
+    (broadcast_semi_join(anti=True) is the small-side shortcut): both sides
+    hash-bucket on the key and each bucket group filters locally with a
+    vectorized is_in — only the key column of the right side rides the
+    shuffle."""
+    import pyarrow.compute as pc
+    lschema = left.schema()
+    lcols = list(lschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    ktype = ltypes[left_key]
+
+    def tag_l(batch: pa.Table) -> pa.Table:
+        h = fast_hash64(batch.column(left_key).to_pylist())
+        return batch.append_column(
+            "__bucket", pa.array((h % num_buckets).astype(np.int64))
+        ).append_column("__side", pa.array(["l"] * batch.num_rows))
+
+    def tag_r(batch: pa.Table) -> pa.Table:
+        key = batch.column(right_key)
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        if key.type != ktype:
+            key = key.cast(ktype)
+        cols = {name: (key if name == left_key
+                       else pa.nulls(len(key), type=ltypes[name]))
+                for name in lcols}
+        out = pa.table(cols)
+        h = fast_hash64(key.to_pylist())
+        return out.append_column(
+            "__bucket", pa.array((h % num_buckets).astype(np.int64))
+        ).append_column("__side", pa.array(["r"] * out.num_rows))
+
+    def anti_group(g: pa.Table) -> pa.Table:
+        mask = pc.equal(g.column("__side"), pa.scalar("l"))
+        lg = g.filter(mask).select(lcols)
+        excl = g.filter(pc.invert(mask)).column(left_key).combine_chunks()
+        if len(excl) == 0:
+            return lg
+        keep = pc.invert(pc.is_in(lg.column(left_key), value_set=excl))
+        return lg.filter(keep)
+
+    lt = left.map_batches(tag_l, batch_format="pyarrow")
+    rt = right.map_batches(tag_r, batch_format="pyarrow")
+    return lt.union(rt).groupby("__bucket").map_groups(
+        anti_group, batch_format="pyarrow")

@@ -893,7 +893,7 @@ FROM r WHERE rnk <= 10
 # (stop-bucket removal); distinct pairs verify by exact cosine >= 0.98.  The
 # emitted cosine is quantized to 1e-9 on both sides, so the value is
 # independent of float accumulation order.
-DEDUP_EMBEDDING = f"""
+_EMB_ND_CHAIN = f"""
 WITH pl(band, pw, p) AS (VALUES {_plane_values(_rng_planes((64, 64)), bands=8)}),
 eb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 jit AS (
@@ -925,6 +925,72 @@ vv AS (
   SELECT c.a_id, c.b_id, list_cosine_similarity(ea.v, eb2.v) AS cos
   FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb2 ON eb2.vec_id = c.b_id
 )
+"""
+
+DEDUP_EMBEDDING = _EMB_ND_CHAIN + """
 SELECT a_id, b_id, floor(cos * 1e9) / 1e9 AS cosine
 FROM vv WHERE cos >= 0.98
+"""
+
+# --- Semantic dedup (engine/dedup.py semantic_dedup_ids): the near-dup
+# chain above -> transitive closure (recursive CTE, same technique as
+# DEDUP_CLUSTERS) -> each component keeps only its MIN-id representative;
+# output = the kept vec_ids of the planted corpus.
+DEDUP_SEMANTIC = _EMB_ND_CHAIN.replace("WITH pl", "WITH RECURSIVE pl") + """
+, vp AS (SELECT a_id, b_id FROM vv WHERE cos >= 0.98),
+ed AS (SELECT a_id AS x, b_id AS y FROM vp
+       UNION SELECT b_id AS x, a_id AS y FROM vp),
+r(x, y) AS (
+  SELECT x, x FROM (SELECT DISTINCT x FROM ed)
+  UNION
+  SELECT ed.x, r.y FROM ed JOIN r ON r.x = ed.y
+),
+cl AS (SELECT x AS doc_id, MIN(y) AS cluster_id FROM r GROUP BY x),
+dr AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+SELECT e.vec_id FROM e
+WHERE e.vec_id NOT IN (SELECT doc_id FROM dr)
+"""
+
+# --- Per-language corpus stats (engine/text.py corpus_stats): TEXT_LANGID's
+# argmax-overlap language per doc, then integer sums per language — all
+# partial-aggregable ints, ratios are single exact divisions.
+CORPUS_STATS = r"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, 'en' AS lang,
+         CAST(len(list_filter(list_distinct(toks), x -> x IN ('the','a','and','fast','key'))) AS DOUBLE) / 5 AS score
+  FROM t
+  UNION ALL
+  SELECT doc_id, 'es',
+         CAST(len(list_filter(list_distinct(toks), x -> x IN ('the','data','slow','table'))) AS DOUBLE) / 4
+  FROM t
+  UNION ALL
+  SELECT doc_id, 'zh',
+         CAST(len(list_filter(list_distinct(toks), x -> x IN ('spark','batch','window'))) AS DOUBLE) / 3
+  FROM t
+), lr AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rnk
+  FROM s
+), lg AS (SELECT doc_id, lang FROM lr WHERE rnk = 1),
+j AS (
+  SELECT lg.lang AS language,
+         len(t.toks) AS ws,
+         len(regexp_extract_all(t.text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'
+             )) AS sub,
+         length(t.text) AS ch,
+         len(list_filter(t.toks, x -> x = 'the')) AS stp,
+         len(list_distinct(t.toks)) AS dis
+  FROM t JOIN lg ON lg.doc_id = t.doc_id
+)
+SELECT language,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(sub) AS BIGINT) AS subtokens,
+       CAST(SUM(ch) AS BIGINT) AS chars,
+       CAST(SUM(stp) AS DOUBLE) / SUM(ws) AS stop_frac,
+       CAST(SUM(dis) AS DOUBLE) / SUM(ws) AS lexical_diversity
+FROM j GROUP BY language
 """

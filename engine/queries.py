@@ -774,6 +774,26 @@ def dedup_embedding(sf_dir: str):
         dedup.planted_neardup_embeddings(emb), threshold=0.98)
 
 
+def dedup_semantic(sf_dir: str):
+    """SemDeDup-style corpus-level removal: embedding near-dup pairs ->
+    connected components -> keep each component's min-id representative;
+    returns the kept vec_ids of the planted corpus (bucketed anti-join —
+    the exclusion side never collects to the driver)."""
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                columns=["vec_id", "embedding"])
+    return dedup.semantic_dedup_ids(
+        dedup.planted_neardup_embeddings(emb), threshold=0.98)
+
+
+def corpus_stats(sf_dir: str):
+    """Per-language corpus curation report (doc/token/char budgets, stopword
+    fraction, lexical diversity): language-ID + tokenization fused into a
+    per-batch partial-sum combiner, then a tiny groupby over #blocks x #langs
+    rows — the canonical pre-filter report of a training-data pipeline."""
+    from engine.text import corpus_stats as _cs
+    return _cs(_docs(sf_dir))
+
+
 def sim_knn_cosine(sf_dir: str):
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                 columns=["vec_id", "embedding"])
@@ -863,6 +883,8 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_embedding": dedup_embedding,
+    "dedup_semantic": dedup_semantic,
+    "corpus_stats": corpus_stats,
     "sim_knn_cosine": sim_knn_cosine,
     "sim_knn_lsh": sim_knn_lsh,
     "sim_knn_ivf": sim_knn_ivf,
@@ -904,6 +926,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_knn_cosine": o.SIM_KNN,
         "sim_knn_lsh": o.SIM_KNN_LSH,
         "dedup_embedding": o.DEDUP_EMBEDDING,
+        "dedup_semantic": o.DEDUP_SEMANTIC,
+        "corpus_stats": o.CORPUS_STATS,
         "multimodal_features": o.MULTIMODAL_FEATURES,
         "geo_block_embedding": o.GEO_BLOCK_EMBEDDING,
         "geo_blocking_metrics": o.GEO_BLOCKING_METRICS,

@@ -148,3 +148,82 @@ def fingerprint(docs: ray.data.Dataset, window: int = 8) -> ray.data.Dataset:
         })
 
     return docs.map_batches(fp, batch_format="pyarrow")
+
+
+def corpus_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-language corpus curation report — the table a training-data
+    pipeline prints before filtering: doc counts, whitespace/BPE-ish token
+    and char budgets, stopword fraction, lexical diversity, per predicted
+    language.
+
+    Scale shape (the combiner-before-groupby pattern): each batch runs
+    language-ID + tokenization locally and emits ONE partial-sum row per
+    language, so the groupby shuffles #blocks x #langs tiny rows, never the
+    corpus.  All sums are ints; the two ratio columns are single exact
+    int/int divisions, so the whole table is SQL-exact."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    class PartialActor:
+        def __init__(self):
+            self.profiles = sorted(
+                (k, frozenset(v)) for k, v in LANG_PROFILES.items())
+            self.rx = re.compile(BPE_PATTERN)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            agg: dict[str, list[int]] = {}
+            for t in batch.column("text").to_pylist():
+                toks = t.split(" ")
+                tokset = set(toks)
+                best, best_s = "en", -1.0
+                for lang, prof in self.profiles:
+                    s = len(tokset & prof) / len(prof)
+                    if s > best_s:
+                        best, best_s = lang, s
+                a = agg.setdefault(best, [0, 0, 0, 0, 0, 0])
+                a[0] += 1
+                a[1] += len(toks)
+                a[2] += len(self.rx.findall(t))
+                a[3] += len(t)
+                a[4] += sum(1 for w in toks if w == "the")
+                a[5] += len(tokset)
+            langs = sorted(agg)
+            m = np.array([agg[l] for l in langs], dtype=np.int64).reshape(
+                len(langs), 6)
+            return pa.table({
+                "language": pa.array(langs, type=pa.string()),
+                "n_docs": pa.array(m[:, 0]),
+                "ws_tokens": pa.array(m[:, 1]),
+                "subtokens": pa.array(m[:, 2]),
+                "chars": pa.array(m[:, 3]),
+                "stops": pa.array(m[:, 4]),
+                "distincts": pa.array(m[:, 5]),
+            })
+
+    partial = docs.map_batches(PartialActor, batch_format="pyarrow",
+                               concurrency=(1, 2))
+    out = partial.groupby("language").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("ws_tokens", alias_name="ws_tokens"),
+        Sum("subtokens", alias_name="subtokens"),
+        Sum("chars", alias_name="chars"),
+        Sum("stops", alias_name="stops"),
+        Sum("distincts", alias_name="distincts"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        ws = b.column("ws_tokens").to_numpy()
+        stop_frac = b.column("stops").to_numpy() / ws
+        lex = b.column("distincts").to_numpy() / ws
+        return pa.table({
+            "language": b.column("language"),
+            "n_docs": b.column("n_docs"),
+            "ws_tokens": b.column("ws_tokens"),
+            "subtokens": b.column("subtokens"),
+            "chars": b.column("chars"),
+            "stop_frac": pa.array(stop_frac, type=pa.float64()),
+            "lexical_diversity": pa.array(lex, type=pa.float64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -465,3 +465,55 @@ def test_bucketed_hash_join_matches_pandas(ray_session):
     g = got.sort_values(["k", "x"]).reset_index(drop=True)
     w = want.sort_values(["k", "x"]).reset_index(drop=True)
     assert (g.y.to_numpy() == w.y.to_numpy()).all()
+
+
+def test_bucketed_anti_join_equals_set_difference(ray_session):
+    import pyarrow as pa
+    from engine.joins import bucketed_anti_join
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(list(range(100)), type=pa.int64()),
+        "payload": pa.array([f"p{i}" for i in range(100)]),
+    })).repartition(5)
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array([3, 3, 17, 50, 99, 200], type=pa.int64()),
+    })).repartition(2)
+    out = bucketed_anti_join(left, right, "k", "rk").to_pandas()
+    assert sorted(out.k) == sorted(set(range(100)) - {3, 17, 50, 99})
+    # payload rides through untouched
+    assert (out.payload == out.k.map(lambda i: f"p{i}")).all()
+
+
+def test_semantic_dedup_keeps_representatives(ray_session):
+    """Planted pair (v, v+100000) clusters with min v -> every original id
+    is kept, every planted copy is dropped (modulo LSH recall on the copy)."""
+    from engine.dedup import planted_neardup_embeddings, semantic_dedup_ids
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    kept = set(semantic_dedup_ids(planted_neardup_embeddings(emb),
+                                  threshold=0.98).to_pandas().vec_id)
+    originals = set(range(500))
+    planted = {i + 100000 for i in range(0, 500, 5)}
+    assert originals <= kept          # representatives all kept
+    dropped = planted - kept
+    assert len(dropped) / len(planted) >= 0.7   # LSH recall floor
+
+
+def test_corpus_stats_consistent_with_per_doc_ops(ray_session):
+    """corpus_stats' partial-sum totals must equal the independently
+    oracle-green per-doc operators aggregated in pandas."""
+    from engine.queries import corpus_stats, text_langid, text_tokens, text_stats
+    sf = "/root/testdata/sf0.001"
+    cs = corpus_stats(sf).to_pandas().set_index("language").sort_index()
+    lang = text_langid(sf).to_pandas()
+    toks = text_tokens(sf).to_pandas()
+    stats = text_stats(sf).to_pandas()
+    df = lang.merge(toks, on="doc_id").merge(stats, on="doc_id")
+    ref = df.groupby("pred_lang").agg(
+        n_docs=("doc_id", "size"), ws_tokens=("n_ws_tokens", "sum"),
+        subtokens=("n_subtokens", "sum"), chars=("n_chars", "sum"),
+        stops=("n_stop", "sum"), distincts=("n_distinct", "sum")).sort_index()
+    assert list(cs.index) == list(ref.index)
+    for c in ("n_docs", "ws_tokens", "subtokens", "chars"):
+        assert (cs[c].to_numpy() == ref[c].to_numpy()).all(), c
+    assert np.allclose(cs.stop_frac, ref.stops / ref.ws_tokens)
+    assert np.allclose(cs.lexical_diversity, ref.distincts / ref.ws_tokens)
