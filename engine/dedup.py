@@ -776,3 +776,64 @@ def semantic_dedup_ids(emb: ray.data.Dataset, threshold: float = 0.98,
     drops = clusters.map_batches(non_reps, batch_format="pyarrow")
     ids = emb.select_columns(["vec_id"])
     return bucketed_anti_join(ids, drops, "vec_id", "doc_id")
+
+
+def decontaminate(train: ray.data.Dataset, benchmark: ray.data.Dataset,
+                  n: int = 3) -> ray.data.Dataset:
+    """Benchmark n-gram decontamination — the train/eval-overlap scrub every
+    published pre-training pipeline runs (GPT-3 appendix C / Llama 2 §A.6:
+    flag a training document if it shares any word n-gram with an evaluation
+    benchmark).
+
+    Scale shape: the benchmark side is tiny by construction (benchmarks are
+    megabytes even when the training corpus is 100 TB), so its DISTINCT
+    shingle-hash set is reduced per-batch, unioned once on the driver and
+    ``ray.put`` as one sorted uint64 array; the training corpus then STREAMS
+    through a stateless map_batches doing a vectorized sorted-membership
+    test (searchsorted) — no shuffle, no join, one pass.  If the benchmark
+    side ever outgrew a broadcast, the bucketed-join path
+    (``_verify_pairs_join``-style) is the fallback plan.
+
+    Emits one row per training doc: (doc_id, n_grams, n_hits, contaminated)
+    where n_grams counts the doc's DISTINCT n-grams and n_hits those also
+    present anywhere in the benchmark.  All counts are exact ints (md5
+    64-bit shingle hashing, same injectivity convention as the dedup
+    operators), so the table is SQL-exact."""
+    import ray as _ray
+
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        _, stream = _batch_shingle_hashes(batch.column("text").to_pylist(),
+                                          n, pad=False)
+        return pa.table({"h": pa.array(np.unique(stream))})
+
+    parts = benchmark.map_batches(bench_hashes, batch_format="pyarrow") \
+        .to_pandas()  # DISTINCT hashes only — the declared small side
+    bench_sorted = np.unique(parts["h"].to_numpy(dtype=np.uint64))
+    bench_ref = _ray.put(bench_sorted)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bench = _ray.get(bench_ref)
+        counts, stream = _batch_shingle_hashes(batch.column("text").to_pylist(),
+                                               n, pad=False)
+        if len(stream) and len(bench):
+            idx = np.searchsorted(bench, stream)
+            idx[idx == len(bench)] = 0
+            # int64, NOT bool: np.add.reduceat on bool is logical-OR
+            hit = (bench[idx] == stream).astype(np.int64)
+        else:
+            hit = np.zeros(len(stream), dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        if len(hit):
+            # clamp starts of trailing zero-gram docs (masked to 0 below)
+            hits = np.add.reduceat(hit, np.minimum(starts, len(hit) - 1))
+        else:
+            hits = np.zeros(len(counts), dtype=np.int64)
+        hits = np.where(counts > 0, hits, 0).astype(np.int64)
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "n_grams": pa.array(counts),
+            "n_hits": pa.array(hits),
+            "contaminated": pa.array(hits > 0),
+        })
+
+    return train.map_batches(flag, batch_format="pyarrow")

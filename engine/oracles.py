@@ -994,3 +994,76 @@ SELECT language,
        CAST(SUM(dis) AS DOUBLE) / SUM(ws) AS lexical_diversity
 FROM j GROUP BY language
 """
+
+
+# Gopher-style quality gate (engine/text.py quality_filter): every rule is
+# an integer comparison (mean-word-length via cross-multiplication, never a
+# float division), so the table replicates exactly.
+QUALITY_FILTER = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS n_chars
+  FROM documents
+), s AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         n_chars - (len(toks) - 1) AS sum_len,
+         len(list_filter(toks,
+             w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS n_stop,
+         len(list_distinct(toks)) AS n_distinct
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       n_tokens >= 20 AND n_tokens <= 90 AS ok_len,
+       sum_len >= 3 * n_tokens AND sum_len <= 7 * n_tokens AS ok_word_len,
+       n_stop >= 2 AS ok_stop,
+       n_distinct * 2 >= n_tokens AS ok_lex,
+       (n_tokens >= 20 AND n_tokens <= 90
+        AND sum_len >= 3 * n_tokens AND sum_len <= 7 * n_tokens
+        AND n_stop >= 2
+        AND n_distinct * 2 >= n_tokens) AS keep
+FROM s
+"""
+
+# Stratified sampling (engine/text.py stratified_sample, rates en=0.25 /
+# default 0.75, seed 1): md5_number_upper('sample|1|' || doc_id) equals the
+# engine's stable_hash64 (first 8 md5 digest bytes, little-endian).
+CORPUS_SAMPLE = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE md5_number_upper('sample|1|' || doc_id) % 1000000 <
+      CASE WHEN lang = 'en' THEN 250000 ELSE 750000 END
+"""
+
+# Benchmark n-gram decontamination (engine/dedup.py decontaminate, n=3,
+# benchmark = doc_id % 97 == 0): distinct-3-gram semi-join counts; docs
+# shorter than 3 tokens have zero grams on both sides (generate_series is
+# empty exactly when the engine's _shingles set is).
+DECONTAM = """
+WITH train AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE doc_id % 97 <> 0
+), tg0 AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+  FROM train
+), tg AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+  FROM tg0
+), bt AS (
+  SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 97 = 0
+), bg0 AS (
+  SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM bt
+), bg AS (
+  SELECT DISTINCT toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+  FROM bg0
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id
+), hit AS (
+  SELECT tg.doc_id, COUNT(*) AS n_hits FROM tg JOIN bg USING (g)
+  GROUP BY tg.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(sz.n_grams, 0) AS n_grams,
+       COALESCE(hit.n_hits, 0) AS n_hits,
+       COALESCE(hit.n_hits, 0) > 0 AS contaminated
+FROM train t LEFT JOIN sz USING (doc_id) LEFT JOIN hit USING (doc_id)
+"""

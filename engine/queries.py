@@ -730,6 +730,42 @@ def text_tokens(sf_dir: str):
     return text.token_counts(_docs(sf_dir))
 
 
+def quality_filter(sf_dir: str):
+    """Gopher-style rule-based quality gate (length / mean-word-length /
+    stopword / lexical-diversity rules, all integer comparisons) — one row
+    per doc with per-rule booleans and the final keep flag.  Oracle-exact."""
+    return text.quality_filter(_docs(sf_dir))
+
+
+def corpus_sample(sf_dir: str):
+    """Deterministic stratified sampling: downsample 'en' (the
+    over-represented stratum) to 25%, keep other languages at 75%, via a
+    pure md5-per-row keep rule — identical membership at any parallelism.
+    Oracle-exact (md5_number_upper replicates stable_hash64)."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars"])
+    return text.stratified_sample(docs, rates={"en": 0.25},
+                                  default_rate=0.75, seed=1)
+
+
+def decontam(sf_dir: str):
+    """Benchmark n-gram decontamination (GPT-3 appx C / Llama 2 §A.6): docs
+    with doc_id % 97 == 0 stand in as the eval benchmark; every other doc is
+    flagged if it shares any distinct word 3-gram with the benchmark.
+    Broadcast small-side membership, streaming train side.  Oracle-exact."""
+    import pyarrow.compute as pc
+    docs = _docs(sf_dir)
+
+    def split(is_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b.column("doc_id").to_numpy() % 97 == 0
+            return b.filter(pa.array(m if is_bench else ~m))
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    return dedup.decontaminate(split(False), split(True), n=3)
+
+
 def dedup_exact(sf_dir: str):
     return dedup.exact_dedup(dedup.planted_dup_corpus(_docs(sf_dir)))
 
@@ -876,6 +912,9 @@ QUERIES = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_tokens": text_tokens,
+    "quality_filter": quality_filter,
+    "corpus_sample": corpus_sample,
+    "decontam": decontam,
     "dedup_exact": dedup_exact,
     "dedup_ngram": dedup_ngram,
     "dedup_clusters": dedup_clusters,
@@ -919,6 +958,9 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": o.TEXT_LANGID,
         "text_fingerprint": o.TEXT_FINGERPRINT,
         "text_tokens": o.TEXT_TOKENS,
+        "quality_filter": o.QUALITY_FILTER,
+        "corpus_sample": o.CORPUS_SAMPLE,
+        "decontam": o.DECONTAM,
         "dedup_exact": o.DEDUP_EXACT,
         "dedup_ngram": o.DEDUP_NGRAM,
         "dedup_simhash": o.DEDUP_SIMHASH,

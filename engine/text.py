@@ -11,6 +11,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from engine.joins import stable_hash64
+
 STOPWORDS = {"the", "a", "and", "of", "to"}
 
 # tiny per-language stopword profiles for the heuristic language ID
@@ -107,6 +109,84 @@ def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
 
     return docs.map_batches(TokenActor, batch_format="pyarrow",
                             concurrency=(1, 2))
+
+
+def quality_filter(docs: ray.data.Dataset,
+                   min_tokens: int = 20, max_tokens: int = 90,
+                   min_word_len: int = 3, max_word_len: int = 7,
+                   min_stops: int = 2,
+                   lex_num: int = 1, lex_den: int = 2) -> ray.data.Dataset:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1 /
+    C4 heuristics), the standard pre-training curation gate:
+
+    * ``ok_len``        — token count in [min_tokens, max_tokens]
+    * ``ok_word_len``   — mean word length in [min_word_len, max_word_len],
+                          tested as the exact integer cross-multiplication
+                          ``min*n <= sum_len <= max*n`` (no float division)
+    * ``ok_stop``       — at least ``min_stops`` stopword occurrences
+                          (the "has real function words" rule)
+    * ``ok_lex``        — lexical diversity distinct/tokens >= lex_num/lex_den,
+                          tested as ``distinct*lex_den >= tokens*lex_num``
+    * ``keep``          — AND of all rules
+
+    Every rule is an integer comparison, so the whole table is SQL-exact.
+    Pure stateless map_batches — streams at any corpus size."""
+    stop = frozenset(STOPWORDS)
+
+    def rules(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        m = len(texts)
+        n_tok = np.empty(m, dtype=np.int64)
+        sum_len = np.empty(m, dtype=np.int64)
+        n_stop = np.empty(m, dtype=np.int64)
+        n_dis = np.empty(m, dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            n_tok[i] = len(toks)
+            sum_len[i] = len(t) - (len(toks) - 1)  # chars minus separators
+            n_stop[i] = sum(1 for w in toks if w in stop)
+            n_dis[i] = len(set(toks))
+        ok_len = (n_tok >= min_tokens) & (n_tok <= max_tokens)
+        ok_wl = (sum_len >= min_word_len * n_tok) & \
+            (sum_len <= max_word_len * n_tok)
+        ok_stop = n_stop >= min_stops
+        ok_lex = n_dis * lex_den >= n_tok * lex_num
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tok),
+            "ok_len": pa.array(ok_len),
+            "ok_word_len": pa.array(ok_wl),
+            "ok_stop": pa.array(ok_stop),
+            "ok_lex": pa.array(ok_lex),
+            "keep": pa.array(ok_len & ok_wl & ok_stop & ok_lex),
+        })
+
+    return docs.map_batches(rules, batch_format="pyarrow")
+
+
+def stratified_sample(docs: ray.data.Dataset, rates: dict[str, float],
+                      default_rate: float = 1.0,
+                      seed: int = 1) -> ray.data.Dataset:
+    """Deterministic stratified corpus sampling — the language/source
+    rebalancing step of a training-data pipeline (downsample the
+    over-represented stratum).  A doc is kept iff
+    ``stable_hash64("sample|seed|doc_id") % 1e6 < rate(lang) * 1e6`` — a
+    pure per-row decision, so the sample is identical at any parallelism
+    and cluster size, and re-running on a grown corpus keeps exactly the
+    docs it kept before (reservoirless, coordination-free).  md5-based, so
+    the whole rule replicates in SQL (``md5_number_upper``)."""
+    cuts = {k: int(r * 1_000_000) for k, r in rates.items()}
+    dcut = int(default_rate * 1_000_000)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        h = stable_hash64([f"sample|{seed}|{i}" for i in ids]) % 1_000_000
+        thr = np.fromiter((cuts.get(l, dcut) for l in langs),
+                          dtype=np.int64, count=len(langs))
+        return batch.filter(pa.array(h < thr))
+
+    return docs.map_batches(sample, batch_format="pyarrow")
 
 
 def fingerprint(docs: ray.data.Dataset, window: int = 8) -> ray.data.Dataset:

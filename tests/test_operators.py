@@ -517,3 +517,73 @@ def test_corpus_stats_consistent_with_per_doc_ops(ray_session):
         assert (cs[c].to_numpy() == ref[c].to_numpy()).all(), c
     assert np.allclose(cs.stop_frac, ref.stops / ref.ws_tokens)
     assert np.allclose(cs.lexical_diversity, ref.distincts / ref.ws_tokens)
+
+
+def test_quality_filter_rules(ray_session):
+    """Each Gopher rule fires independently, including the mean-word-length
+    false branches the sf corpora never hit."""
+    from engine.text import quality_filter
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(5)), type=pa.int64()),
+        "text": pa.array([
+            " ".join(["the", "of"] + [f"word{i:02d}" for i in range(28)]),
+            "the of word",                                    # too short
+            " ".join(["the", "of"] + ["a"] * 28),             # words too short
+            " ".join(["the", "of"] + ["significantly"] * 28),  # words too long
+            " ".join(["word"] * 30),                          # no stopwords
+        ]),
+    }))
+    out = quality_filter(docs).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "keep"]
+    assert not out.loc[1, "ok_len"] and not out.loc[1, "keep"]
+    assert not out.loc[2, "ok_word_len"]
+    assert not out.loc[3, "ok_word_len"]
+    assert not out.loc[4, "ok_stop"]
+    # repetition: 30 tokens, 1 distinct -> fails lexical diversity
+    assert not out.loc[4, "ok_lex"]
+
+
+def test_stratified_sample_deterministic_any_parallelism(ray_session):
+    """Membership is a pure per-row md5 rule: identical kept set at 1 and 8
+    partitions, and the per-stratum rate lands near its quota."""
+    from engine.text import stratified_sample
+    n = 2000
+    t = pa.table({
+        "doc_id": pa.array(list(range(n)), type=pa.int64()),
+        "lang": pa.array(["en" if i % 2 else "de" for i in range(n)]),
+    })
+    kept1 = sorted(stratified_sample(
+        ray.data.from_arrow(t), {"en": 0.25}, 0.75, seed=1)
+        .to_pandas()["doc_id"])
+    kept8 = sorted(stratified_sample(
+        ray.data.from_arrow(t).repartition(8), {"en": 0.25}, 0.75, seed=1)
+        .to_pandas()["doc_id"])
+    assert kept1 == kept8
+    en = sum(1 for d in kept1 if d % 2)
+    de = len(kept1) - en
+    assert abs(en / 1000 - 0.25) < 0.05
+    assert abs(de / 1000 - 0.75) < 0.05
+
+
+def test_decontaminate_flags_shared_ngrams(ray_session):
+    """A train doc sharing any distinct 3-gram with the benchmark is flagged
+    with the exact overlap count; short docs have zero grams."""
+    from engine.dedup import decontaminate
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100], type=pa.int64()),
+        "text": pa.array(["alpha beta gamma delta"]),  # grams: abc, bcd
+    }))
+    train = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma epsilon",   # shares 'alpha beta gamma'
+            "zeta eta theta iota",        # disjoint
+            "one two",                    # < 3 tokens -> 0 grams
+        ]),
+    }))
+    out = decontaminate(train, bench, n=3).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert bool(out.loc[0, "contaminated"]) and out.loc[0, "n_hits"] == 1
+    assert out.loc[0, "n_grams"] == 2
+    assert not bool(out.loc[1, "contaminated"]) and out.loc[1, "n_hits"] == 0
+    assert out.loc[2, "n_grams"] == 0 and not bool(out.loc[2, "contaminated"])
