@@ -1067,3 +1067,41 @@ SELECT t.doc_id,
        COALESCE(hit.n_hits, 0) > 0 AS contaminated
 FROM train t LEFT JOIN sz USING (doc_id) LEFT JOIN hit USING (doc_id)
 """
+
+
+# Dirty-split blocking recall (engine/queries.py geo_blocking_dirty /
+# splits.dirty_blocking_split): test cands = 60% md5 sample of cands∩index,
+# 20% md5 subset of those removed from the index side; scaler quantiles are
+# fit on the FILTERED cand side (fit-cands semantics), so the fv/cs CTEs must
+# read tcands; recall over the matchable subset is one exact division.
+def _dirty_sql() -> str:
+    import re
+    head, tail = _BKAFI_CTES.split("), fv AS (", 1)
+    tail = re.sub(r"\bcands\b", "tcands", tail)
+    tail = re.sub(r"\bidx\b", "idx2", tail)
+    return head + """), tcands AS (
+  SELECT c.* FROM cands c
+  WHERE EXISTS (SELECT 1 FROM idx i WHERE i.id = c.id)
+    AND md5_number_upper(c.id || '|dirty|1') % 100 < 60
+), rmv AS (
+  SELECT id FROM tcands WHERE md5_number_upper(id || '|rm|1') % 100 < 20
+), idx2 AS (
+  SELECT * FROM idx WHERE id NOT IN (SELECT id FROM rmv)
+), fv AS (""" + tail + """
+, hits AS (
+  SELECT cand_id, min(rnk) AS best
+  FROM j WHERE cand_id = index_id AND rnk <= 21
+  GROUP BY cand_id
+), ks AS (SELECT unnest([1, 5, 10, 20]) AS k)
+SELECT CAST(ks.k AS INTEGER) AS k,
+       (SELECT count(*) FROM tcands) AS n_test_cands,
+       (SELECT count(*) FROM rmv) AS n_unmatched,
+       CAST(count(h.cand_id) AS DOUBLE)
+         / ((SELECT count(*) FROM tcands) - (SELECT count(*) FROM rmv))
+         AS recall_matchable
+FROM ks LEFT JOIN hits h ON h.best <= ks.k
+GROUP BY ks.k
+"""
+
+
+GEO_BLOCKING_DIRTY = _dirty_sql()

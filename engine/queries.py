@@ -639,28 +639,32 @@ def contrastive_matching(sf_dir: str):
 
 def geo_blocking_dirty(sf_dir: str):
     """Dirty-split blocking evaluation (reference data_partition_dirty.py:
-    112-127): 20% of the sampled test cands are removed from the index side,
-    making them unmatched queries; recall is reported over the matchable
-    subset, plus how the blocker ranks the unmatched cands' spurious
-    neighbors.  Rows-only."""
+    112-127): 60% of cands∩index are sampled as test cands, then 20% of
+    those are REMOVED from the index side, making them unmatched queries;
+    recall is reported over the matchable subset.  Runs over the exact-f64
+    flat-roof subset (like geo_block_bkafi / geo_blocking_metrics) so the
+    whole chain — md5 dirty split, scaler fit on the FILTERED cand side,
+    kNN ranking, exact recall division — is DuckDB-oracle-checked
+    bit-for-bit."""
     import pandas as pd
+    import pyarrow.compute as pc
 
     from engine import blocking as blk, splits
     from engine.joins import broadcast_semi_join
-    from engine.pipeline import side_dataset, side_frame, side_ids
     props = _props(sf_dir)
-    cand_ids, index_ids = side_ids(props)
+    cands_all = _flat_side(
+        props, "cands", ["doc_id", *_FIXED_BLOCK_FEATURES]).materialize()
+    index_df = _flat_side(
+        props, "index", ["doc_id", *_FIXED_BLOCK_FEATURES]).to_pandas()
+    cand_ids = cands_all.select_columns(["doc_id"]).to_pandas()[
+        "doc_id"].tolist()
     test_cands, index_keep, removed = splits.dirty_blocking_split(
-        cand_ids, index_ids, seed=1)
-    cands = broadcast_semi_join(
-        side_dataset(props, "cands", ["doc_id", *_FIXED_BLOCK_FEATURES]),
-        "doc_id", test_cands)
-    index_df = side_frame(props, "index",
-                          ["doc_id", *_FIXED_BLOCK_FEATURES])
+        cand_ids, index_df["doc_id"].tolist(), seed=1)
+    cands = broadcast_semi_join(cands_all, "doc_id", test_cands)
     index_df = index_df[index_df.doc_id.isin(set(index_keep))] \
         .reset_index(drop=True)
-    import pyarrow.compute as pc
-    nn, _ = blk.bkafi_nn_dataset(cands, index_df, _FIXED_BLOCK_FEATURES, 6)
+    nn, _ = blk.bkafi_nn_dataset(cands, index_df, _FIXED_BLOCK_FEATURES, 6,
+                                 exact=True)
     nn_hits = nn.map_batches(
         lambda b: b.filter(pc.equal(b.column("cand_id"),
                                     b.column("index_id"))),
@@ -673,7 +677,8 @@ def geo_blocking_dirty(sf_dir: str):
             "k": k,
             "n_test_cands": len(test_cands),
             "n_unmatched": len(removed),
-            "recall_matchable": round(float((best <= k).sum()) / matchable, 4),
+            # exact IEEE division — the oracle pins this value bit-for-bit
+            "recall_matchable": float((best <= k).sum()) / matchable,
         })
     return pd.DataFrame(rows)
 
@@ -961,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": o.QUALITY_FILTER,
         "corpus_sample": o.CORPUS_SAMPLE,
         "decontam": o.DECONTAM,
+        "geo_blocking_dirty": o.GEO_BLOCKING_DIRTY,
         "dedup_exact": o.DEDUP_EXACT,
         "dedup_ngram": o.DEDUP_NGRAM,
         "dedup_simhash": o.DEDUP_SIMHASH,
