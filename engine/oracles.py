@@ -1105,3 +1105,84 @@ GROUP BY ks.k
 
 
 GEO_BLOCKING_DIRTY = _dirty_sql()
+
+
+# Rational tf-idf top-k terms (engine/text.py tfidf_topk, k=5): score is
+# the log-free tf * N / df — exact int64 product, one IEEE division — so
+# row_number over (score DESC, term ASC) replicates the engine's ranking
+# bit-for-bit (terms are unique within a doc; the order is total).
+TFIDF_TOPK = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), e0 AS (
+  SELECT doc_id, unnest(toks) AS term FROM t
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM e0 GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM e0 GROUP BY term
+), s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf * (SELECT count(*) FROM documents) AS DOUBLE) / df.df
+           AS score
+  FROM tf JOIN df USING (term)
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rnk
+  FROM s
+)
+SELECT doc_id, term, tf, df, score, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 5
+"""
+
+# Gopher repetition rules (engine/text.py repetition_stats): keep flags via
+# integer cross-multiplication (dup * 10 <= 1 * n_bigrams, top * 8 <=
+# 1 * n_tokens); the two fractions are single exact int/int divisions.
+TEXT_REPETITION = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), w2 AS (
+  SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_word_n FROM
+    (SELECT doc_id, term, count(*) AS c
+     FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+     GROUP BY doc_id, term)
+  GROUP BY doc_id
+), b AS (
+  SELECT doc_id,
+         count(*) AS n_bigrams,
+         count(DISTINCT toks[i] || chr(0) || toks[i + 1]) AS n_bi_distinct
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       w2.n_tokens,
+       COALESCE(b.n_bigrams, 0) AS n_bigrams,
+       COALESCE(b.n_bigrams - b.n_bi_distinct, 0) AS dup_bigrams,
+       w2.top_word_n,
+       CASE WHEN COALESCE(b.n_bigrams, 0) = 0 THEN 0.0
+            ELSE CAST(b.n_bigrams - b.n_bi_distinct AS DOUBLE) / b.n_bigrams
+       END AS dup_bigram_frac,
+       CAST(w2.top_word_n AS DOUBLE) / w2.n_tokens AS top_word_frac,
+       COALESCE(b.n_bigrams - b.n_bi_distinct, 0) * 10
+         <= 1 * COALESCE(b.n_bigrams, 0) AS ok_repetition,
+       w2.top_word_n * 8 <= 1 * w2.n_tokens AS ok_top_word,
+       (COALESCE(b.n_bigrams - b.n_bi_distinct, 0) * 10
+          <= 1 * COALESCE(b.n_bigrams, 0)
+        AND w2.top_word_n * 8 <= 1 * w2.n_tokens) AS keep
+FROM t JOIN w2 USING (doc_id) LEFT JOIN b USING (doc_id)
+"""
+
+# Inverted index (engine/text.py inverted_index, max_postings=32): per-doc
+# distinct explode, df = full count, postings = first 32 doc_ids ascending,
+# comma-joined (a stable cross-engine list representation).
+INVERTED_INDEX = """
+WITH e AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+)
+SELECT term, count(*) AS df,
+       array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 32), ',')
+         AS postings
+FROM e GROUP BY term
+"""

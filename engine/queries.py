@@ -835,6 +835,31 @@ def corpus_stats(sf_dir: str):
     return _cs(_docs(sf_dir))
 
 
+def text_tfidf(sf_dir: str):
+    """Per-doc top-5 terms by rational tf-idf (tf * N / df — log-free so
+    every score is one exact IEEE division): explode → combiner-pre-aggregated
+    df groupby → bucketed term join → coarse-bucket vectorized top-k.
+    Oracle-exact (row_number over the identical total order)."""
+    from engine.text import tfidf_topk
+    return tfidf_topk(_docs(sf_dir), k=5)
+
+
+def text_repetition(sf_dir: str):
+    """Gopher repetition rules (Rae et al. 2021 §A1.1): duplicate-bigram
+    fraction + most-common-word fraction per doc, keep flags by integer
+    cross-multiplication.  Stateless map_batches; oracle-exact."""
+    from engine.text import repetition_stats
+    return repetition_stats(_docs(sf_dir))
+
+
+def inverted_index(sf_dir: str):
+    """Distributed inverted-index build: term → df + first-32 ascending
+    posting list (comma-joined), per-doc distinct explode → term-hash bucket
+    shuffle → one vectorized segment slice per bucket.  Oracle-exact."""
+    from engine.text import inverted_index as _ii
+    return _ii(_docs(sf_dir), max_postings=32)
+
+
 def sim_knn_cosine(sf_dir: str):
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                 columns=["vec_id", "embedding"])
@@ -929,6 +954,9 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "dedup_semantic": dedup_semantic,
     "corpus_stats": corpus_stats,
+    "text_tfidf": text_tfidf,
+    "text_repetition": text_repetition,
+    "inverted_index": inverted_index,
     "sim_knn_cosine": sim_knn_cosine,
     "sim_knn_lsh": sim_knn_lsh,
     "sim_knn_ivf": sim_knn_ivf,
@@ -976,6 +1004,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": o.DEDUP_EMBEDDING,
         "dedup_semantic": o.DEDUP_SEMANTIC,
         "corpus_stats": o.CORPUS_STATS,
+        "text_tfidf": o.TFIDF_TOPK,
+        "text_repetition": o.TEXT_REPETITION,
+        "inverted_index": o.INVERTED_INDEX,
         "multimodal_features": o.MULTIMODAL_FEATURES,
         "geo_block_embedding": o.GEO_BLOCK_EMBEDDING,
         "geo_blocking_metrics": o.GEO_BLOCKING_METRICS,

@@ -8,6 +8,7 @@ reference (which has no text stage); all vectorized map_batches over Arrow.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -307,3 +308,182 @@ def corpus_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
         })
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def tfidf_topk(docs: ray.data.Dataset, k: int = 5,
+               num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-document top-k terms by rational tf-idf — the term-weighting
+    stage of a curation/search pipeline (Salton & Buckley 1988), with the
+    classic log idf replaced by the pure rational ``tf * N / df`` so every
+    score is ONE exact IEEE division and the whole table is SQL-checkable
+    bit-for-bit (ln() would tie the result to a libm build).
+
+    Scale shape: (1) docs -> (doc_id, term, tf) explode with per-doc
+    np.unique (no global state); (2) document frequency as a per-block
+    partial-count combiner then a tiny pre-aggregated groupby — the shuffle
+    carries #blocks x block-vocab rows, never the corpus; (3) tf ⋈ df via
+    the bucketed hash join (term-partitioned, no broadcast assumption on
+    vocabulary size); (4) per-doc top-k via a coarse 64-bucket doc-hash
+    shuffle with one vectorized sort + cumcount per bucket (never one Ray
+    group per doc).  Ranking order is (score DESC, term ASC) — terms are
+    unique within a doc, so the order is total and matches SQL row_number.
+    """
+    from engine.joins import bucketed_hash_join, fast_hash64
+    from ray.data.aggregate import Sum
+
+    n_docs = docs.count()
+
+    def explode_tf(batch: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks, counts = np.unique(t.split(" "), return_counts=True)
+            ids.extend([d] * len(toks))
+            terms.extend(toks.tolist())
+            tfs.extend(counts.tolist())
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "term": pa.array(terms, type=pa.string()),
+            "tf": pa.array(np.asarray(tfs, dtype=np.int64)),
+        })
+
+    tf = docs.map_batches(explode_tf, batch_format="pyarrow")
+
+    def block_df(batch: pa.Table) -> pa.Table:
+        # each (doc, term) appears once after the per-doc np.unique above,
+        # so a within-block term count IS a partial document frequency
+        terms, counts = np.unique(
+            np.asarray(batch.column("term").to_pylist(), dtype="U"),
+            return_counts=True)
+        return pa.table({
+            "term": pa.array(terms.tolist(), type=pa.string()),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    df = tf.map_batches(block_df, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("n", alias_name="df"))
+
+    j = bucketed_hash_join(tf, df, "term", "term", num_buckets=num_buckets)
+
+    def score_bucket_tag(batch: pa.Table) -> pa.Table:
+        tfv = batch.column("tf").to_numpy()
+        dfv = batch.column("df").to_numpy()
+        # exact int64 product, exact f64 embed, ONE IEEE division — equals
+        # SQL CAST(tf * N AS DOUBLE) / df
+        s = (tfv * n_docs).astype(np.float64) / dfv.astype(np.float64)
+        h = fast_hash64(batch.column("doc_id").to_pylist())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "term": batch.column("term"),
+            "tf": batch.column("tf"),
+            "df": batch.column("df"),
+            "score": pa.array(s, type=pa.float64()),
+            "__b": pa.array((h % num_buckets).astype(np.int64)),
+        })
+
+    scored = j.map_batches(score_bucket_tag, batch_format="pyarrow")
+
+    def topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rnk"] = g.groupby("doc_id").cumcount() + 1
+        g = g[g["rnk"] <= k]
+        return g[["doc_id", "term", "tf", "df", "score", "rnk"]]
+
+    return scored.groupby("__b").map_groups(topk_bucket,
+                                            batch_format="pandas")
+
+
+def repetition_stats(docs: ray.data.Dataset,
+                     dup_bi_num: int = 1, dup_bi_den: int = 10,
+                     top_word_num: int = 1, top_word_den: int = 8
+                     ) -> ray.data.Dataset:
+    """Gopher repetition rules (Rae et al. 2021 §A1.1, the half of the
+    quality gate `quality_filter` doesn't cover): per-doc duplicate-bigram
+    fraction and most-common-word fraction, with keep flags tested as exact
+    integer cross-multiplications (dup_bigrams * den <= num * n_bigrams),
+    never a float compare.  The two reported fractions are single exact
+    int/int IEEE divisions, so the table is SQL-exact.  Pure stateless
+    map_batches — streams at any corpus size."""
+
+    def rules(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        m = len(texts)
+        n_tok = np.empty(m, dtype=np.int64)
+        top_n = np.empty(m, dtype=np.int64)
+        n_bi = np.empty(m, dtype=np.int64)
+        n_bi_dis = np.empty(m, dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            n_tok[i] = len(toks)
+            _, counts = np.unique(toks, return_counts=True)
+            top_n[i] = counts.max()
+            n_bi[i] = max(len(toks) - 1, 0)
+            n_bi_dis[i] = len({(a, b) for a, b in zip(toks, toks[1:])})
+        dup_bi = n_bi - n_bi_dis
+        with np.errstate(invalid="ignore"):
+            dup_frac = np.where(n_bi > 0, dup_bi / np.maximum(n_bi, 1), 0.0)
+        top_frac = top_n / n_tok
+        ok_rep = dup_bi * dup_bi_den <= dup_bi_num * n_bi
+        ok_top = top_n * top_word_den <= top_word_num * n_tok
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tok),
+            "n_bigrams": pa.array(n_bi),
+            "dup_bigrams": pa.array(dup_bi),
+            "top_word_n": pa.array(top_n),
+            "dup_bigram_frac": pa.array(dup_frac, type=pa.float64()),
+            "top_word_frac": pa.array(top_frac, type=pa.float64()),
+            "ok_repetition": pa.array(ok_rep),
+            "ok_top_word": pa.array(ok_top),
+            "keep": pa.array(ok_rep & ok_top),
+        })
+
+    return docs.map_batches(rules, batch_format="pyarrow")
+
+
+def inverted_index(docs: ray.data.Dataset, max_postings: int = 32,
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """Distributed inverted-index build: term -> document frequency + the
+    first ``max_postings`` doc_ids ascending (capped so a stopword's row
+    stays bounded; df is still the full count).  Postings are emitted as a
+    comma-joined string — a stable cross-engine representation.
+
+    Scale shape: per-doc distinct explode (np.unique) -> coarse term-hash
+    bucket shuffle (the posting-list build IS the one unavoidable
+    all-to-all; the cap bounds row width, the bucket count bounds group
+    memory) -> one vectorized lexsort + segment slice per bucket, never one
+    Ray group per term."""
+    from engine.joins import fast_hash64
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, terms = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = np.unique(t.split(" "))
+            ids.extend([d] * len(toks))
+            terms.extend(toks.tolist())
+        h = fast_hash64(terms)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "term": pa.array(terms, type=pa.string()),
+            "__b": pa.array((h % num_buckets).astype(np.int64)),
+        })
+
+    def build_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        terms = g["term"].to_numpy(dtype="U")
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, terms))
+        terms, ids = terms[order], ids[order]
+        uniq, starts = np.unique(terms, return_index=True)
+        ends = np.append(starts[1:], len(terms))
+        posts = [",".join(map(str, ids[s:min(e, s + max_postings)]))
+                 for s, e in zip(starts, ends)]
+        return pd.DataFrame({
+            "term": uniq,
+            "df": (ends - starts).astype(np.int64),
+            "postings": posts,
+        })
+
+    return docs.map_batches(explode, batch_format="pyarrow") \
+        .groupby("__b").map_groups(build_bucket, batch_format="pandas")

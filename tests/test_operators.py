@@ -587,3 +587,63 @@ def test_decontaminate_flags_shared_ngrams(ray_session):
     assert out.loc[0, "n_grams"] == 2
     assert not bool(out.loc[1, "contaminated"]) and out.loc[1, "n_hits"] == 0
     assert out.loc[2, "n_grams"] == 0 and not bool(out.loc[2, "contaminated"])
+
+
+def test_tfidf_topk_ranking(ray_session):
+    """Rational tf-idf: rare terms outrank common ones; ties broken by term
+    asc; rnk dense per doc; score == tf*N/df exactly."""
+    from engine.text import tfidf_topk
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([
+            "rare common common",   # rare: tf1 df1 -> 3.0; common: tf2 df3 -> 2.0
+            "common solo",
+            "common dup dup",
+        ]),
+    }))
+    out = tfidf_topk(docs, k=2).to_pandas().sort_values(
+        ["doc_id", "rnk"]).reset_index(drop=True)
+    d0 = out[out.doc_id == 0]
+    assert d0.iloc[0].term == "rare" and d0.iloc[0].score == 3.0
+    assert d0.iloc[1].term == "common" and d0.iloc[1].score == 2.0
+    assert (out.groupby("doc_id")["rnk"].min() == 1).all()
+    assert (out.groupby("doc_id").size() <= 2).all()
+
+
+def test_repetition_stats_rules(ray_session):
+    """Duplicate-bigram and top-word fractions with integer-exact keep
+    flags: a heavily repeated doc is rejected, a diverse one kept."""
+    from engine.text import repetition_stats
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array([
+            "spam spam spam spam spam spam spam spam",
+            "alpha beta gamma delta epsilon zeta eta theta",
+        ]),
+    }))
+    out = repetition_stats(docs).to_pandas().set_index("doc_id")
+    assert out.loc[0, "dup_bigram_frac"] == 6.0 / 7.0
+    assert out.loc[0, "top_word_frac"] == 1.0
+    assert not bool(out.loc[0, "keep"])
+    assert out.loc[1, "dup_bigrams"] == 0
+    assert out.loc[1, "top_word_frac"] == 1.0 / 8.0
+    assert bool(out.loc[1, "keep"])
+
+
+def test_inverted_index_postings(ray_session):
+    """df is the full count even when postings are capped; postings are
+    ascending doc_ids, distinct within a doc."""
+    from engine.text import inverted_index
+    n = 40
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n)), type=pa.int64()),
+        "text": pa.array(["hot hot cold" if i % 2 == 0 else "hot warm"
+                          for i in range(n)]),
+    }))
+    out = inverted_index(docs, max_postings=8).to_pandas() \
+        .set_index("term")
+    assert out.loc["hot", "df"] == n            # every doc, counted once
+    assert out.loc["hot", "postings"] == ",".join(map(str, range(8)))
+    assert out.loc["cold", "df"] == n // 2
+    assert out.loc["cold", "postings"] == ",".join(
+        map(str, range(0, 16, 2)))
