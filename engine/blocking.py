@@ -256,11 +256,21 @@ def bkafi_nn_dataset(cand_props: ray.data.Dataset, index_df: pd.DataFrame,
                 "dist": pa.array(dtop.ravel().astype(np.float64), type=pa.float64()),
             })
 
+    # stateless TASK pool with the worker-process cache pattern from the
+    # fused apply path (pipeline.matching_inference_pipeline): the closure is
+    # deserialized once per worker, so the scaled index tiles are built once
+    # per process from the plasma ref — no actor ramp, fully elastic, and
+    # identical math to the former actor pool
+    holder: dict = {}
+
+    def knn_fn(batch: pa.Table) -> pa.Table:
+        if "a" not in holder:
+            holder["a"] = KnnActor()
+        return holder["a"](batch)
+
     cands = cand_props.select_columns(["doc_id", *features]) \
         .repartition(concurrency * 4)
-    nn = cands.map_batches(KnnActor, batch_format="pyarrow", batch_size=1024,
-                           concurrency=(1, concurrency),
-                           max_restarts=0)
+    nn = cands.map_batches(knn_fn, batch_format="pyarrow", batch_size=1024)
     return nn, time.time() - start
 
 

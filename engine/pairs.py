@@ -73,12 +73,19 @@ def pair_features_dataset(pairs: ray.data.Dataset,
                     name, pa.array(feats[:, j], type=pa.float64()))
             return batch
 
-    # max_restarts=0: the actor holds only a plasma ref fetched in __init__;
-    # losing it just re-runs the task, and 0 silences Ray's false-positive
-    # constructor-arguments-in-object-store restart warning (ray#53727)
-    return pairs.map_batches(RatioActor, batch_format="pyarrow",
-                             batch_size=16384, concurrency=(1, concurrency),
-                             max_restarts=0)
+    # stateless TASK pool with the per-worker-process cache pattern
+    # (pipeline.matching_inference_pipeline): the side matrices are plasma
+    # refs fetched once per worker — no actor ramp, no ray#53727 surface,
+    # fully elastic across whatever cores the executor has free
+    holder: dict = {}
+
+    def ratio_fn(batch: pa.Table) -> pa.Table:
+        if "a" not in holder:
+            holder["a"] = RatioActor()
+        return holder["a"](batch)
+
+    return pairs.map_batches(ratio_fn, batch_format="pyarrow",
+                             batch_size=16384)
 
 
 BROADCAST_MAX_SIDE_ROWS = 2_000_000  # ~430 MB of f64 side matrix per side
@@ -109,14 +116,12 @@ def pair_features_join(pairs: ray.data.Dataset, props: ray.data.Dataset,
             if props.count() <= 2 * BROADCAST_MAX_SIDE_ROWS else "join"
 
     if strategy == "broadcast":
-        def side_df(source: str) -> pd.DataFrame:
-            def pick(b: pa.Table) -> pa.Table:
-                return b.filter(
-                    pc.equal(b.column("source"), pa.scalar(source))) \
-                    .select(["doc_id", *PROPERTY_NAMES])
-            return props.map_batches(pick, batch_format="pyarrow").to_pandas()
-
-        return pair_features_dataset(pairs, side_df("cands"), side_df("index"))
+        # ONE narrow collect for both sides (was two full scans)
+        pdf = props.select_columns(
+            ["doc_id", "source", *PROPERTY_NAMES]).to_pandas()
+        return pair_features_dataset(pairs,
+                                     pdf[pdf.source == "cands"],
+                                     pdf[pdf.source == "index"])
 
     def side(source: str, suffix: str) -> ray.data.Dataset:
         def pick(b: pa.Table) -> pa.Table:

@@ -145,6 +145,7 @@ def run_flagship(sf_dir: str, n_cands: int | None = None, seed: int = 1,
         tnn, _ = blk.bkafi_nn_dataset(
             train_cands, index_feat_df, features, bkafi_dim,
             concurrency=concurrency)
+        tnn = tnn.materialize()  # kNN/join fusion boundary (see prepare_state)
         tpairs = blk.pairs_from_nn(tnn, k).select_columns(
             ["cand_id", "index_id", "label"])
         tfeat = pairs.pair_features_join(tpairs, props)
@@ -217,6 +218,10 @@ def prepare_state(sf_dir: str, n_cands: int | None = None, seed: int = 1,
     train_cands = broadcast_semi_join(cands_all, "doc_id", prep["train_ids"])
     tnn, _ = blk.bkafi_nn_dataset(
         train_cands, index_feat_df, features, bkafi_dim, concurrency=concurrency)
+    # boundary on the NARROW nn table: without it the streaming executor
+    # fuses the bandwidth-bound kNN stage with the downstream ratio join and
+    # the fused tasks serialize (measured 37 s lazy vs 17 s split at sf0.1)
+    tnn = tnn.materialize()
     tpairs = blk.pairs_from_nn(tnn, k).select_columns(
         ["cand_id", "index_id", "label"])
     tfeat = pairs.pair_features_join(tpairs, props)
