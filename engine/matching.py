@@ -757,6 +757,14 @@ def predict_dataset(ds: ray.data.Dataset, model, feature_cols: list[str],
                     "proba", pa.array(self.model.predict_proba(X), type=pa.float64()))
             return batch
 
-    return ds.map_batches(PredictActor, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=(1, concurrency),
-                          max_restarts=0)
+    # stateless task pool, model fetched once per worker process (the
+    # per-worker cache pattern from pipeline.matching_inference_pipeline)
+    holder: dict = {}
+
+    def predict_fn(batch: pa.Table) -> pa.Table:
+        if "a" not in holder:
+            holder["a"] = PredictActor()
+        return holder["a"](batch)
+
+    return ds.map_batches(predict_fn, batch_format="pyarrow",
+                          batch_size=batch_size)
