@@ -837,3 +837,107 @@ def decontaminate(train: ray.data.Dataset, benchmark: ray.data.Dataset,
         })
 
     return train.map_batches(flag, batch_format="pyarrow")
+
+
+def substring_dup_stats(docs: ray.data.Dataset, w: int = 8,
+                        num_buckets: int = 64) -> ray.data.Dataset:
+    """Substring-level duplication profile (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr signal at
+    token-window granularity): for every token position, is the w-token
+    window starting there present in at least one OTHER document?  Per doc:
+    total positions, duplicated positions, their exact fraction, and a
+    flag_remove at dup fraction >= 1/2 (integer cross-multiplication).
+
+    Scale shape: (1) per-doc (gram, count) explode — positions are
+    pre-aggregated per doc so a doc contributes one row per DISTINCT gram;
+    (2) document frequency per gram via the per-block partial-count
+    combiner + pre-aggregated groupby (each (doc, gram) row is one distinct
+    doc, so block counts sum to df); (3) grams with df >= 2 join back to
+    the per-doc rows (bucketed hash join on the gram — no vocabulary
+    broadcast assumption); (4) per-doc duplicated-position sums via the
+    same combiner + groupby shape; (5) LEFT join against the per-doc
+    position base so zero-dup docs keep a row.  Gram strings (not hashes)
+    ride the shuffle so the SQL oracle replicates bit-for-bit."""
+    from engine.joins import bucketed_hash_join
+    from ray.data.aggregate import Sum
+
+    def base(batch: pa.Table) -> pa.Table:
+        n_pos = np.asarray(
+            [max(len(t.split(" ")) - w + 1, 0)
+             for t in batch.column("text").to_pylist()], dtype=np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_positions": pa.array(n_pos)})
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, grams, cnts = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            toks = t.split(" ")
+            n_pos = len(toks) - w + 1
+            if n_pos <= 0:
+                continue
+            u, c = np.unique([" ".join(toks[i:i + w]) for i in range(n_pos)],
+                             return_counts=True)
+            ids.extend([d] * len(u))
+            grams.extend(u.tolist())
+            cnts.extend(c.tolist())
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "gram": pa.array(grams, type=pa.string()),
+            "c": pa.array(np.asarray(cnts, dtype=np.int64)),
+        })
+
+    # pg is consumed twice (df aggregate + join left side); the explode is
+    # recomputed rather than materialized — at corpus scale a pinned gram
+    # table is O(total positions), while the re-scan streams
+    pg = docs.map_batches(explode, batch_format="pyarrow")
+
+    def block_df(batch: pa.Table) -> pa.Table:
+        g, n = np.unique(np.asarray(batch.column("gram").to_pylist(),
+                                    dtype=object), return_counts=True)
+        return pa.table({"gram": pa.array(g.tolist(), type=pa.string()),
+                         "n": pa.array(n.astype(np.int64))})
+
+    df = pg.map_batches(block_df, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Sum("n", alias_name="df"))
+
+    import pyarrow.compute as pc
+    dup_grams = df.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("df"), pa.scalar(2))),
+        batch_format="pyarrow")
+
+    j = bucketed_hash_join(pg, dup_grams, "gram", "gram",
+                           num_buckets=num_buckets)
+
+    def block_doc_sum(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        cs = batch.column("c").to_numpy()
+        u, inv = np.unique(ids, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, cs)
+        return pa.table({"doc_id": pa.array(u, type=pa.int64()),
+                         "dup_positions": pa.array(s)})
+
+    dup = j.map_batches(block_doc_sum, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("dup_positions",
+                                         alias_name="dup_positions"))
+
+    base_ds = docs.map_batches(base, batch_format="pyarrow")
+    out = bucketed_hash_join(base_ds, dup, "doc_id", "doc_id",
+                             num_buckets=num_buckets, how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_pos = batch.column("n_positions").to_numpy()
+        dp = batch.column("dup_positions").to_numpy(zero_copy_only=False)
+        dp = np.nan_to_num(dp, nan=0.0).astype(np.int64)
+        with np.errstate(invalid="ignore"):
+            frac = np.where(n_pos > 0, dp / np.maximum(n_pos, 1), 0.0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_positions": pa.array(n_pos),
+            "dup_positions": pa.array(dp),
+            "dup_frac": pa.array(frac, type=pa.float64()),
+            "flag_remove": pa.array((dp * 2 >= n_pos) & (n_pos > 0)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")

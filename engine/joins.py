@@ -179,8 +179,10 @@ def bucketed_hash_join(left: ray.data.Dataset, right: ray.data.Dataset,
             pd.DataFrame({"k": rg.column(right_key).to_pylist(),
                           "ri": np.arange(rg.num_rows)}),
             on="k", how=how)
-        lt_ = lg.take(pa.array(m["li"], from_pandas=True))
-        rt_ = rg.take(pa.array(m["ri"], from_pandas=True))
+        # outer joins leave NaN row indices — nullable Int64 makes Table.take
+        # emit null rows for them (the pandas float64 default has no kernel)
+        lt_ = lg.take(pa.array(m["li"].astype("Int64"), from_pandas=True))
+        rt_ = rg.take(pa.array(m["ri"].astype("Int64"), from_pandas=True))
         cols = {}
         for name in lt_.column_names:
             col = lt_.column(name)

@@ -1186,3 +1186,35 @@ SELECT term, count(*) AS df,
          AS postings
 FROM e GROUP BY term
 """
+
+
+# Substring-duplication profile (engine/dedup.py substring_dup_stats, w=8,
+# over the planted-dup corpus): a position is duplicated when its 8-token
+# window occurs in >= 2 distinct documents; dup_frac is one exact int/int
+# division and flag_remove an integer cross-multiplication.
+DEDUP_SUBSTRING = _DUP_CORPUS + """
+, t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM corpus
+), base AS (
+  SELECT doc_id, GREATEST(len(toks) - 7, 0) AS n_positions FROM t
+), gr AS (
+  SELECT doc_id, array_to_string(toks[i:i + 7], ' ') AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 7)) AS i FROM t)
+), pg AS (
+  SELECT doc_id, gram, count(*) AS c FROM gr GROUP BY doc_id, gram
+), df AS (
+  SELECT gram, count(*) AS df FROM pg GROUP BY gram
+), dup AS (
+  SELECT pg.doc_id, CAST(sum(pg.c) AS BIGINT) AS dup_positions
+  FROM pg JOIN df USING (gram) WHERE df.df >= 2 GROUP BY pg.doc_id
+)
+SELECT b.doc_id, b.n_positions,
+       COALESCE(d.dup_positions, 0) AS dup_positions,
+       CASE WHEN b.n_positions = 0 THEN 0.0
+            ELSE CAST(COALESCE(d.dup_positions, 0) AS DOUBLE) / b.n_positions
+       END AS dup_frac,
+       (COALESCE(d.dup_positions, 0) * 2 >= b.n_positions
+        AND b.n_positions > 0) AS flag_remove
+FROM base b LEFT JOIN dup d USING (doc_id)
+"""

@@ -780,6 +780,14 @@ def dedup_ngram(sf_dir: str):
                                      threshold=0.6)
 
 
+def dedup_substring(sf_dir: str):
+    """Substring-level duplication profile (Lee et al. 2022 ExactSubstr
+    signal, 8-token windows) over the planted-dup corpus: per-doc duplicated
+    positions, exact fraction, removal flag.  Oracle-exact."""
+    return dedup.substring_dup_stats(dedup.planted_dup_corpus(_docs(sf_dir)),
+                                     w=8)
+
+
 def dedup_clusters(sf_dir: str):
     """Near-dup clustering: connected components (distributed min-label
     propagation) over the verified ngram-Jaccard pairs; one row per doc in a
@@ -947,6 +955,7 @@ QUERIES = {
     "decontam": decontam,
     "dedup_exact": dedup_exact,
     "dedup_ngram": dedup_ngram,
+    "dedup_substring": dedup_substring,
     "dedup_clusters": dedup_clusters,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
@@ -997,6 +1006,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_blocking_dirty": o.GEO_BLOCKING_DIRTY,
         "dedup_exact": o.DEDUP_EXACT,
         "dedup_ngram": o.DEDUP_NGRAM,
+        "dedup_substring": o.DEDUP_SUBSTRING,
         "dedup_simhash": o.DEDUP_SIMHASH,
         "dedup_simhash_pairs": o.DEDUP_SIMHASH_PAIRS,
         "sim_knn_cosine": o.SIM_KNN,

@@ -647,3 +647,27 @@ def test_inverted_index_postings(ray_session):
     assert out.loc["cold", "df"] == n // 2
     assert out.loc["cold", "postings"] == ",".join(
         map(str, range(0, 16, 2)))
+
+
+def test_substring_dup_stats(ray_session):
+    """Full-dup docs have every position duplicated (frac 1.0, flagged);
+    a doc sharing one 8-token window gets exactly that position counted;
+    short docs (< w tokens) have zero positions and are never flagged."""
+    from engine.dedup import substring_dup_stats
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            f"{shared} tail0 tail1 tail2",      # 3 extra -> 4 positions
+            f"lead0 {shared}",                  # 2 positions, 1 shared
+            "only five tokens here now",        # < 8 tokens -> 0 positions
+            f"{shared} tail0 tail1 tail2",      # exact dup of doc 0
+        ]),
+    }))
+    out = substring_dup_stats(docs, w=8).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_positions"] == 4 and out.loc[0, "dup_positions"] == 4
+    assert bool(out.loc[0, "flag_remove"]) and out.loc[0, "dup_frac"] == 1.0
+    assert out.loc[1, "n_positions"] == 2 and out.loc[1, "dup_positions"] == 1
+    assert bool(out.loc[1, "flag_remove"])  # 1*2 >= 2
+    assert out.loc[2, "n_positions"] == 0 and not bool(out.loc[2, "flag_remove"])
+    assert out.loc[3, "dup_frac"] == 1.0
