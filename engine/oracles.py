@@ -1218,3 +1218,22 @@ SELECT b.doc_id, b.n_positions,
         AND b.n_positions > 0) AS flag_remove
 FROM base b LEFT JOIN dup d USING (doc_id)
 """
+
+
+# Sequence packing (engine/text.py pack_sequences, window=256): the engine's
+# distributed range-bucket prefix sum equals one SQL window cumsum over
+# doc_id order; all-int64 arithmetic.
+PACK_SEQUENCES = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens AS BIGINT) AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // 256 AS window_id
+FROM s
+"""

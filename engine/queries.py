@@ -868,6 +868,15 @@ def inverted_index(sf_dir: str):
     return _ii(_docs(sf_dir), max_postings=32)
 
 
+def pack_sequences(sf_dir: str):
+    """Sequence packing (contiguous GPT-style data-loader layout): global
+    token prefix sum in doc_id order via range buckets + a driver-side
+    O(#buckets) cumsum, window_id = start_offset // 256.  Oracle-exact
+    (SQL window cumsum)."""
+    from engine.text import pack_sequences as _ps
+    return _ps(_docs(sf_dir), window=256)
+
+
 def sim_knn_cosine(sf_dir: str):
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                 columns=["vec_id", "embedding"])
@@ -966,6 +975,7 @@ QUERIES = {
     "text_tfidf": text_tfidf,
     "text_repetition": text_repetition,
     "inverted_index": inverted_index,
+    "pack_sequences": pack_sequences,
     "sim_knn_cosine": sim_knn_cosine,
     "sim_knn_lsh": sim_knn_lsh,
     "sim_knn_ivf": sim_knn_ivf,
@@ -1017,6 +1027,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf": o.TFIDF_TOPK,
         "text_repetition": o.TEXT_REPETITION,
         "inverted_index": o.INVERTED_INDEX,
+        "pack_sequences": o.PACK_SEQUENCES,
         "multimodal_features": o.MULTIMODAL_FEATURES,
         "geo_block_embedding": o.GEO_BLOCK_EMBEDDING,
         "geo_blocking_metrics": o.GEO_BLOCKING_METRICS,

@@ -487,3 +487,68 @@ def inverted_index(docs: ray.data.Dataset, max_postings: int = 32,
 
     return docs.map_batches(explode, batch_format="pyarrow") \
         .groupby("__b").map_groups(build_bucket, batch_format="pandas")
+
+
+def pack_sequences(docs: ray.data.Dataset, window: int = 256,
+                   num_buckets: int = 64) -> ray.data.Dataset:
+    """Sequence packing for pre-training batches: concatenate the corpus in
+    doc_id order and assign every document the fixed-size token window its
+    first token lands in (the contiguous-packing layout of GPT-style data
+    loaders).  Emits (doc_id, n_tokens, start_offset, window_id).
+
+    This is a distributed prefix sum (scan): (1) per-doc token counts;
+    (2) range-bucket by doc_id so bucket order == doc_id order, per-bucket
+    token totals via the partial-sum combiner + tiny groupby; (3) the
+    #buckets-long totals vector is cumsum'd on the driver (O(buckets)
+    memory, never the corpus) and broadcast; (4) one vectorized sort +
+    cumsum per bucket adds the bucket offset.  All arithmetic is int64, so
+    the table is SQL-exact against a window SUM OVER (ORDER BY doc_id)."""
+    from ray.data.aggregate import Max, Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = np.asarray([t.count(" ") + 1
+                        for t in batch.column("text").to_pylist()],
+                       dtype=np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pa.array(n)})
+
+    tok = docs.map_batches(counts, batch_format="pyarrow").materialize()
+    max_id = int(tok.aggregate(Max("doc_id"))["max(doc_id)"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        b = ids * num_buckets // (max_id + 1)
+        return batch.append_column("__b", pa.array(b.astype(np.int64)))
+
+    bucketed = tok.map_batches(add_bucket, batch_format="pyarrow")
+
+    def block_sums(batch: pa.Table) -> pa.Table:
+        b = batch.column("__b").to_numpy()
+        n = batch.column("n_tokens").to_numpy()
+        u, inv = np.unique(b, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, n)
+        return pa.table({"__b": pa.array(u), "n": pa.array(s)})
+
+    sums = bucketed.map_batches(block_sums, batch_format="pyarrow") \
+        .groupby("__b").aggregate(Sum("n", alias_name="n")).to_pandas() \
+        .sort_values("__b").reset_index(drop=True)
+    totals = np.zeros(num_buckets, dtype=np.int64)
+    totals[sums["__b"].to_numpy()] = sums["n"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = g.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        n = g["n_tokens"].to_numpy()
+        start = np.cumsum(n) - n + off[int(g["__b"].iloc[0])]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": n,
+            "start_offset": start,
+            "window_id": start // window,
+        })
+
+    return bucketed.groupby("__b").map_groups(scan_bucket,
+                                              batch_format="pandas")

@@ -671,3 +671,22 @@ def test_substring_dup_stats(ray_session):
     assert bool(out.loc[1, "flag_remove"])  # 1*2 >= 2
     assert out.loc[2, "n_positions"] == 0 and not bool(out.loc[2, "flag_remove"])
     assert out.loc[3, "dup_frac"] == 1.0
+
+
+def test_pack_sequences_prefix_sum(ray_session):
+    """Global packing equals the serial prefix sum regardless of bucket
+    count / parallelism; windows cover offsets contiguously."""
+    from engine.text import pack_sequences
+    rng = list(range(100))
+    texts = ["w " * (i % 17) + "end" for i in rng]   # 1..17 tokens
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(rng, type=pa.int64()),
+        "text": pa.array(texts),
+    }))
+    out = pack_sequences(docs, window=32, num_buckets=7).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    n = np.array([t.count(" ") + 1 for t in texts], dtype=np.int64)
+    start = np.cumsum(n) - n
+    assert (out["n_tokens"].to_numpy() == n).all()
+    assert (out["start_offset"].to_numpy() == start).all()
+    assert (out["window_id"].to_numpy() == start // 32).all()
