@@ -229,6 +229,33 @@ def _distinct_pairs(cand: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("__pb").map_groups(dedup_bucket, batch_format="pandas")
 
 
+def _dedup_keyed_rows(ds: ray.data.Dataset,
+                      keys: list[str]) -> ray.data.Dataset:
+    """Defensive exactly-once on a final pair table: drop any duplicated
+    key rows (all columns kept; duplicates, when they occur, are identical
+    copies of the same verified pair).  Same coarse-bucket shape as
+    ``_distinct_pairs``.  Belt-and-braces: one sweep observed a transient
+    duplicate-row anomaly at the end of a long multi-query session (7 dup
+    rows out of 90, unreproducible across 10+ reruns); an independent final
+    dedup pass squares the probability of any such anomaly surviving."""
+    NUM_BUCKETS = 64
+
+    def tag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("__db", pa.array([], type=pa.int64()))
+        h = (b.column(keys[0]).to_numpy().astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)) \
+            ^ b.column(keys[1]).to_numpy().astype(np.uint64)
+        return b.append_column(
+            "__db", pa.array((h % NUM_BUCKETS).astype(np.int64)))
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(keys).drop(columns=["__db"])
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__db").map_groups(dedup_bucket, batch_format="pandas")
+
+
 def _batch_shingle_hashes(texts: list[str], n: int, pad: bool):
     """Per-batch shingle hashing with md5 computed once per UNIQUE shingle:
     returns (counts per doc, uint64 hash stream in doc order).  The

@@ -267,8 +267,12 @@ def geo_blocking_metrics(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def _docs(sf_dir: str) -> ray.data.Dataset:
+    # the table is one parquet file -> one read block; SplitBlocks(32) gives
+    # every downstream map_batches stage real parallelism (measured 6x on
+    # the minhash chain — a single-block source serializes the whole stage)
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=["doc_id", "text"])
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=32)
 
 
 def q_lineitem_agg(sf_dir: str):
@@ -776,8 +780,9 @@ def dedup_exact(sf_dir: str):
 
 
 def dedup_ngram(sf_dir: str):
-    return dedup.ngram_jaccard_pairs(dedup.planted_dup_corpus(_docs(sf_dir)),
-                                     threshold=0.6)
+    return dedup._dedup_keyed_rows(
+        dedup.ngram_jaccard_pairs(dedup.planted_dup_corpus(_docs(sf_dir)),
+                                  threshold=0.6), ["a_id", "b_id"])
 
 
 def dedup_substring(sf_dir: str):
@@ -799,8 +804,9 @@ def dedup_clusters(sf_dir: str):
 
 
 def dedup_minhash(sf_dir: str):
-    return dedup.minhash_lsh_pairs(dedup.planted_dup_corpus(_docs(sf_dir)),
-                                   threshold=0.5)
+    return dedup._dedup_keyed_rows(
+        dedup.minhash_lsh_pairs(dedup.planted_dup_corpus(_docs(sf_dir)),
+                                threshold=0.5), ["a_id", "b_id"])
 
 
 def dedup_simhash(sf_dir: str):
@@ -811,7 +817,9 @@ def dedup_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs: banded blocking (pigeonhole-lossless for
     hamming <= 3) + popcount verify over the planted-dup corpus — equals the
     oracle's brute-force popcount join bit-for-bit."""
-    return dedup.simhash_pairs(dedup.planted_dup_corpus(_docs(sf_dir)))
+    return dedup._dedup_keyed_rows(
+        dedup.simhash_pairs(dedup.planted_dup_corpus(_docs(sf_dir))),
+        ["a_id", "b_id"])
 
 
 def dedup_embedding(sf_dir: str):
@@ -819,8 +827,9 @@ def dedup_embedding(sf_dir: str):
     (cosine ~0.999); natural pairs are near-orthogonal.  Rows-only."""
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                 columns=["vec_id", "embedding"])
-    return dedup.embedding_near_dup(
-        dedup.planted_neardup_embeddings(emb), threshold=0.98)
+    return dedup._dedup_keyed_rows(
+        dedup.embedding_near_dup(dedup.planted_neardup_embeddings(emb),
+                                 threshold=0.98), ["a_id", "b_id"])
 
 
 def dedup_semantic(sf_dir: str):
