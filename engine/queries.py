@@ -266,6 +266,14 @@ def geo_blocking_metrics(sf_dir: str):
 # relational / text / dedup / similarity / multimodal
 # ---------------------------------------------------------------------------
 
+def _emb(sf_dir: str) -> ray.data.Dataset:
+    # single parquet file -> SplitBlocks(32) so vectorized embedding stages
+    # parallelize (same rationale as _docs)
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                 columns=["vec_id", "embedding"],
+                                 override_num_blocks=32)
+
+
 def _docs(sf_dir: str) -> ray.data.Dataset:
     # the table is one parquet file -> one read block; SplitBlocks(32) gives
     # every downstream map_batches stage real parallelism (measured 6x on
@@ -825,8 +833,7 @@ def dedup_simhash_pairs(sf_dir: str):
 def dedup_embedding(sf_dir: str):
     """Embedding near-dup over a corpus with planted jittered copies
     (cosine ~0.999); natural pairs are near-orthogonal.  Rows-only."""
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                                columns=["vec_id", "embedding"])
+    emb = _emb(sf_dir)
     return dedup._dedup_keyed_rows(
         dedup.embedding_near_dup(dedup.planted_neardup_embeddings(emb),
                                  threshold=0.98), ["a_id", "b_id"])
@@ -837,8 +844,7 @@ def dedup_semantic(sf_dir: str):
     connected components -> keep each component's min-id representative;
     returns the kept vec_ids of the planted corpus (bucketed anti-join —
     the exclusion side never collects to the driver)."""
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                                columns=["vec_id", "embedding"])
+    emb = _emb(sf_dir)
     return dedup.semantic_dedup_ids(
         dedup.planted_neardup_embeddings(emb), threshold=0.98)
 
@@ -887,14 +893,12 @@ def pack_sequences(sf_dir: str):
 
 
 def sim_knn_cosine(sf_dir: str):
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                                columns=["vec_id", "embedding"])
+    emb = _emb(sf_dir)
     return similarity.brute_knn(emb, query_ids=list(range(20)), k=10)
 
 
 def sim_knn_lsh(sf_dir: str):
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                                columns=["vec_id", "embedding"])
+    emb = _emb(sf_dir)
     return similarity.lsh_knn(emb, query_ids=list(range(20)), k=10)
 
 
@@ -902,8 +906,7 @@ def sim_knn_ivf(sf_dir: str):
     """IVF-bucketed approximate kNN (faiss IndexIVFFlat analogue: coarse
     k-means quantizer + probe-limited scan).  Rows-only; recall vs brute
     asserted in tests."""
-    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                                columns=["vec_id", "embedding"])
+    emb = _emb(sf_dir)
     return similarity.ivf_knn(emb, query_ids=list(range(20)), k=10)
 
 
