@@ -690,3 +690,74 @@ def test_pack_sequences_prefix_sum(ray_session):
     assert (out["n_tokens"].to_numpy() == n).all()
     assert (out["start_offset"].to_numpy() == start).all()
     assert (out["window_id"].to_numpy() == start // 32).all()
+
+
+def _random_corpus(n_docs=150, seed=3):
+    rng = np.random.default_rng(seed)
+    vocab = np.array(["w%d" % i for i in range(12)], dtype=object)
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 25)))
+             for _ in range(n_docs)]
+    return list(range(n_docs)), texts
+
+
+def test_tfidf_matches_serial_reference(ray_session):
+    """Distributed tf-idf == a serial pure-python reference on a random
+    corpus (exact scores, exact top-k ordering)."""
+    from engine.text import tfidf_topk
+    ids, texts = _random_corpus()
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(texts)}))
+    out = tfidf_topk(docs, k=3).to_pandas() \
+        .sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+    # serial reference
+    from collections import Counter
+    N = len(ids)
+    tfs = [Counter(t.split(" ")) for t in texts]
+    df = Counter()
+    for tf in tfs:
+        df.update(tf.keys())
+    rows = []
+    for d, tf in zip(ids, tfs):
+        scored = sorted(((np.float64(c * N) / np.float64(df[w]), w, c)
+                         for w, c in tf.items()),
+                        key=lambda x: (-x[0], x[1]))[:3]
+        for r, (s, w, c) in enumerate(scored, 1):
+            rows.append((d, w, c, df[w], float(s), r))
+    import pandas as pd
+    want = pd.DataFrame(rows, columns=["doc_id", "term", "tf", "df",
+                                       "score", "rnk"])
+    got = out[["doc_id", "term", "tf", "df", "score", "rnk"]]
+    pd.testing.assert_frame_equal(
+        got.astype({"rnk": "int64"}), want.astype({"rnk": "int64"}),
+        check_dtype=False)
+
+
+def test_substring_dup_matches_serial_reference(ray_session):
+    """Distributed substring-dup profile == serial reference on a random
+    corpus with forced repeats."""
+    from engine.dedup import substring_dup_stats
+    ids, texts = _random_corpus(n_docs=80, seed=5)
+    texts = [t if i % 9 else texts[0] for i, t in enumerate(texts)]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(texts)}))
+    w = 4
+    out = substring_dup_stats(docs, w=w).to_pandas() \
+        .set_index("doc_id").sort_index()
+    from collections import Counter
+    grams = []
+    for t in texts:
+        toks = t.split(" ")
+        grams.append(Counter(" ".join(toks[i:i + w])
+                             for i in range(max(len(toks) - w + 1, 0))))
+    df = Counter()
+    for g in grams:
+        df.update(g.keys())
+    for d, g in zip(ids, grams):
+        n_pos = sum(g.values())
+        dup = sum(c for k, c in g.items() if df[k] >= 2)
+        assert out.loc[d, "n_positions"] == n_pos
+        assert out.loc[d, "dup_positions"] == dup
+        if n_pos:
+            assert out.loc[d, "dup_frac"] == dup / np.float64(n_pos)
