@@ -1237,3 +1237,69 @@ SELECT doc_id, n_tokens, start_offset,
        start_offset // 256 AS window_id
 FROM s
 """
+
+
+# Geometric pair features (engine/spatial.py geom_pair_features): for every
+# flat-roof cand with a same-key (matched, perturbed) index entity —
+# centroid distance, axis-aligned footprint-bbox IoU, exact rectangle
+# Hausdorff (max corner-to-rectangle distance over both directions; exact
+# for convex sets).  All inputs are dyadic rationals, so only the final
+# sqrt / division round — one IEEE op each, identical on both sides.
+GEO_PAIR_FEATURES = """
+WITH hc AS (
+  SELECT doc_id AS k, (doc_id * 2654435761 + 12345) AS hv,
+         ((doc_id * 1000003 + 7) % 1000000007) * 1103515245 + 54321 AS h2
+  FROM documents WHERE doc_id % 5 = 0
+), a AS (
+  SELECT k,
+    CAST(h2 % 99000 AS DOUBLE) AS x0,
+    CAST((h2 // 99000) % 99000 AS DOUBLE) AS y0,
+    4 + (hv % 24) + ((hv // 24) % 8) / 8.0 AS w,
+    5 + ((hv // 192) % 30) + ((hv // 1536) % 8) / 8.0 AS l
+  FROM hc
+), b AS (
+  SELECT k,
+    CAST(h2 % 99000 AS DOUBLE) AS x0,
+    CAST((h2 // 99000) % 99000 AS DOUBLE) AS y0,
+    (4 + (hv % 24) + ((hv // 24) % 8) / 8.0)
+      + (((h2 // 9801000000) % 3) - 1) / 8.0 AS w,
+    (5 + ((hv // 192) % 30) + ((hv // 1536) % 8) / 8.0)
+      + ((((h2 // 9801000000) // 3) % 3) - 1) / 8.0 AS l
+  FROM hc
+  WHERE (((h2 // 9801000000) // 27) % 100) < 85
+), p AS (
+  SELECT a.k, a.x0 AS ax0, a.y0 AS ay0, a.w AS aw, a.l AS al,
+         a.x0 + a.w AS ax1, a.y0 + a.l AS ay1,
+         a.x0 + a.w / 2 AS acx, a.y0 + a.l / 2 AS acy,
+         b.x0 AS bx0, b.y0 AS by0, b.w AS bw, b.l AS bl,
+         b.x0 + b.w AS bx1, b.y0 + b.l AS by1,
+         b.x0 + b.w / 2 AS bcx, b.y0 + b.l / 2 AS bcy
+  FROM a JOIN b USING (k)
+), corner AS (
+  SELECT k, ax0 AS px, ay0 AS py, bx0 AS rx0, by0 AS ry0,
+         bx1 AS rx1, by1 AS ry1 FROM p
+  UNION ALL SELECT k, ax1, ay0, bx0, by0, bx1, by1 FROM p
+  UNION ALL SELECT k, ax0, ay1, bx0, by0, bx1, by1 FROM p
+  UNION ALL SELECT k, ax1, ay1, bx0, by0, bx1, by1 FROM p
+  UNION ALL SELECT k, bx0, by0, ax0, ay0, ax1, ay1 FROM p
+  UNION ALL SELECT k, bx1, by0, ax0, ay0, ax1, ay1 FROM p
+  UNION ALL SELECT k, bx0, by1, ax0, ay0, ax1, ay1 FROM p
+  UNION ALL SELECT k, bx1, by1, ax0, ay0, ax1, ay1 FROM p
+), hd AS (
+  SELECT k, max(sqrt(
+      GREATEST(rx0 - px, px - rx1, 0) * GREATEST(rx0 - px, px - rx1, 0)
+    + GREATEST(ry0 - py, py - ry1, 0) * GREATEST(ry0 - py, py - ry1, 0)
+  )) AS hausdorff
+  FROM corner GROUP BY k
+)
+SELECT CAST(p.k AS VARCHAR) AS doc_id,
+  sqrt((acx - bcx) * (acx - bcx) + (acy - bcy) * (acy - bcy))
+    AS centroid_dist,
+  GREATEST(LEAST(ax1, bx1) - GREATEST(ax0, bx0), 0)
+    * GREATEST(LEAST(ay1, by1) - GREATEST(ay0, by0), 0)
+  / (aw * al + bw * bl
+     - GREATEST(LEAST(ax1, bx1) - GREATEST(ax0, bx0), 0)
+       * GREATEST(LEAST(ay1, by1) - GREATEST(ay0, by0), 0)) AS bbox_iou,
+  hd.hausdorff
+FROM p JOIN hd ON hd.k = p.k
+"""

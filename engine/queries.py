@@ -176,6 +176,19 @@ _FIXED_BLOCK_FEATURES = ["volume", "area", "height_diff", "bounding_box_width",
                          "bounding_box_length", "convex_hull_volume"]
 
 
+def geo_pair_features(sf_dir: str):
+    """Geometric pair features over matched flat-roof pairs (the north-rule
+    match-feature trio): centroid distance, axis-aligned footprint-bbox IoU,
+    exact rectangle Hausdorff distance.  Index side broadcast, cands stream.
+    Oracle-exact (all-dyadic inputs; one sqrt / one division per value)."""
+    props = _props(sf_dir)
+    cols = ["doc_id", "x0", "y0", "bounding_box_width",
+            "bounding_box_length", "cx", "cy"]
+    cands = _flat_side(props, "cands", cols)
+    index_df = _flat_side(props, "index", cols).to_pandas()
+    return spatial.geom_pair_features(cands, index_df)
+
+
 def geo_block_bkafi(sf_dir: str):
     """Feature-space kNN blocking table (fixed 6-dim key set, scaler fit on
     cands): (bkafi_dim, cand_id, index_id, rank, dist).  Cands stream; the
@@ -941,6 +954,8 @@ QUERIES = {
     "geo_tiles": geo_tiles,
     "geo_pip": geo_pip,
     "geo_knn_spatial": geo_knn_spatial,
+    "geo_pair_features": geo_pair_features,
+    "geo_pair_features": geo_pair_features,
     "geo_block_bkafi": geo_block_bkafi,
     "geo_match": geo_match,
     "geo_blocking_metrics": geo_blocking_metrics,
@@ -1004,6 +1019,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_tiles": o.GEO_TILES,
         "geo_pip": o.GEO_PIP,
         "geo_knn_spatial": o.GEO_KNN,
+        "geo_pair_features": o.GEO_PAIR_FEATURES,
         "geo_block_centroid": o.GEO_BLOCK_CENTROID,
         "geo_block_bkafi": o.GEO_BLOCK_BKAFI,
         "geo_threshold_sweep": o.GEO_THRESHOLD_SWEEP,

@@ -232,3 +232,68 @@ def knn_join(cands: ray.data.Dataset, index_df: "pd.DataFrame", k: int = 5,
     return cands.map_batches(KnnActor, batch_format="pyarrow",
                              batch_size=1024, concurrency=(1, concurrency),
                              max_restarts=0)
+
+
+def geom_pair_features(cands: ray.data.Dataset,
+                       index_df: pd.DataFrame) -> ray.data.Dataset:
+    """Geometric pair features (the north-rule match-feature trio): for every
+    cand with a same-key index entity, the centroid distance, the
+    axis-aligned footprint-bbox IoU, and the exact rectangle Hausdorff
+    distance (closed form for convex rectangles: the max over both
+    directions of the farthest corner-to-rectangle distance — for convex
+    sets h(A,B) is attained at a vertex of A).
+
+    Every input coordinate is a dyadic rational (exact in f64), so all
+    adds/muls/max are exact and only the final sqrt / division round —
+    one IEEE op each, replicated 1:1 by the SQL oracle.  Physical shape:
+    the matched index rectangles broadcast once (``ray.put``), cands
+    stream; no shuffle."""
+    cols = ["x0", "y0", "bounding_box_width", "bounding_box_length",
+            "cx", "cy"]
+    lookup = {d: i for i, d in enumerate(index_df["doc_id"].tolist())}
+    mat = index_df[cols].to_numpy(dtype=np.float64)
+    ref = ray.put((lookup, mat))
+    holder: dict = {}
+
+    def feats(batch: pa.Table) -> pa.Table:
+        if "s" not in holder:
+            holder["s"] = ray.get(ref)
+        look, m = holder["s"]
+        ids = batch.column("doc_id").to_pylist()
+        rows = np.fromiter((look.get(d, -1) for d in ids), dtype=np.int64,
+                           count=len(ids))
+        keep = rows >= 0
+        rows = rows[keep]
+        ids = [d for d, k in zip(ids, keep) if k]
+        A = np.column_stack([batch.column(c).to_numpy()[keep] for c in cols])
+        B = m[rows]
+        ax0, ay0, aw, al, acx, acy = A.T
+        bx0, by0, bw, bl, bcx, bcy = B.T
+        ax1, ay1 = ax0 + aw, ay0 + al
+        bx1, by1 = bx0 + bw, by0 + bl
+        dx, dy = acx - bcx, acy - bcy
+        centroid_dist = np.sqrt(dx * dx + dy * dy)
+        ix = np.maximum(np.minimum(ax1, bx1) - np.maximum(ax0, bx0), 0.0)
+        iy = np.maximum(np.minimum(ay1, by1) - np.maximum(ay0, by0), 0.0)
+        inter = ix * iy
+        union = aw * al + bw * bl - inter
+        bbox_iou = inter / union
+
+        def corner_to_rect(px, py, rx0, ry0, rx1, ry1):
+            mx = np.maximum(np.maximum(rx0 - px, px - rx1), 0.0)
+            my = np.maximum(np.maximum(ry0 - py, py - ry1), 0.0)
+            return np.sqrt(mx * mx + my * my)
+
+        h = np.zeros(len(rows))
+        for px, py in ((ax0, ay0), (ax1, ay0), (ax0, ay1), (ax1, ay1)):
+            h = np.maximum(h, corner_to_rect(px, py, bx0, by0, bx1, by1))
+        for px, py in ((bx0, by0), (bx1, by0), (bx0, by1), (bx1, by1)):
+            h = np.maximum(h, corner_to_rect(px, py, ax0, ay0, ax1, ay1))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.string()),
+            "centroid_dist": pa.array(centroid_dist, type=pa.float64()),
+            "bbox_iou": pa.array(bbox_iou, type=pa.float64()),
+            "hausdorff": pa.array(h, type=pa.float64()),
+        })
+
+    return cands.map_batches(feats, batch_format="pyarrow")

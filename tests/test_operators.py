@@ -761,3 +761,34 @@ def test_substring_dup_matches_serial_reference(ray_session):
         assert out.loc[d, "dup_positions"] == dup
         if n_pos:
             assert out.loc[d, "dup_frac"] == dup / np.float64(n_pos)
+
+
+def test_geom_pair_features_known_rectangles(ray_session):
+    """Closed-form checks: identical rectangles -> IoU 1, Hausdorff 0;
+    disjoint rectangles -> IoU 0, Hausdorff = far-corner distance;
+    half-overlap -> exact rational IoU."""
+    import pandas as pd
+    from engine.spatial import geom_pair_features
+    cands = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["1", "2", "3"]),
+        "x0": pa.array([0.0, 0.0, 0.0]), "y0": pa.array([0.0, 0.0, 0.0]),
+        "bounding_box_width": pa.array([4.0, 4.0, 4.0]),
+        "bounding_box_length": pa.array([2.0, 2.0, 2.0]),
+        "cx": pa.array([2.0, 2.0, 2.0]), "cy": pa.array([1.0, 1.0, 1.0]),
+    }))
+    index_df = pd.DataFrame({
+        "doc_id": ["1", "2", "3"],
+        "x0": [0.0, 10.0, 2.0], "y0": [0.0, 0.0, 0.0],
+        "bounding_box_width": [4.0, 4.0, 4.0],
+        "bounding_box_length": [2.0, 2.0, 2.0],
+        "cx": [2.0, 12.0, 4.0], "cy": [1.0, 1.0, 1.0],
+    })
+    out = geom_pair_features(cands, index_df).to_pandas().set_index("doc_id")
+    assert out.loc["1", "bbox_iou"] == 1.0 and out.loc["1", "hausdorff"] == 0.0
+    assert out.loc["1", "centroid_dist"] == 0.0
+    assert out.loc["2", "bbox_iou"] == 0.0
+    # far corner of A=(0,0)-(4,2) to B=(10,0)-(14,2): x gap 10-0=10, y 0
+    assert out.loc["2", "hausdorff"] == 10.0
+    assert out.loc["2", "centroid_dist"] == 10.0
+    # A=(0..4), B=(2..6): inter 2*2=4, union 8+8-4=12 -> 1/3
+    assert out.loc["3", "bbox_iou"] == 4.0 / 12.0
