@@ -1303,3 +1303,23 @@ SELECT CAST(p.k AS VARCHAR) AS doc_id,
   hd.hausdorff
 FROM p JOIN hd ON hd.k = p.k
 """
+
+
+# Temperature-scaled mixture sampling (engine/text.py mixture_sample, tau=2,
+# seed 1): per-language keep rate sqrt(n/n_max) — one division + one sqrt —
+# thresholded at floor(rate * 2^40) against md5_number_upper membership.
+MIXTURE_SAMPLE = """
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), m AS (
+  SELECT max(n) AS n_max FROM c
+), thr AS (
+  SELECT lang,
+         CAST(floor(sqrt(CAST(n AS DOUBLE) / (SELECT n_max FROM m))
+                    * 1099511627776) AS BIGINT) AS cut
+  FROM c
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN thr USING (lang)
+WHERE md5_number_upper('mix|1|' || d.doc_id) % 1099511627776 < thr.cut
+"""

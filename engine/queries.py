@@ -779,6 +779,17 @@ def corpus_sample(sf_dir: str):
                                   default_rate=0.75, seed=1)
 
 
+def mixture_sample(sf_dir: str):
+    """Temperature-scaled multilingual mixture sampling (mT5/XLM-R tau=2):
+    keep rate sqrt(n_lang/n_max) with md5 membership; bounded #langs driver
+    collect.  Oracle-exact."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars"],
+        override_num_blocks=32)
+    return text.mixture_sample(docs, seed=1)
+
+
 def decontam(sf_dir: str):
     """Benchmark n-gram decontamination (GPT-3 appx C / Llama 2 §A.6): docs
     with doc_id % 97 == 0 stand in as the eval benchmark; every other doc is
@@ -988,6 +999,7 @@ QUERIES = {
     "text_tokens": text_tokens,
     "quality_filter": quality_filter,
     "corpus_sample": corpus_sample,
+    "mixture_sample": mixture_sample,
     "decontam": decontam,
     "dedup_exact": dedup_exact,
     "dedup_ngram": dedup_ngram,
@@ -1040,6 +1052,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens": o.TEXT_TOKENS,
         "quality_filter": o.QUALITY_FILTER,
         "corpus_sample": o.CORPUS_SAMPLE,
+        "mixture_sample": o.MIXTURE_SAMPLE,
         "decontam": o.DECONTAM,
         "geo_blocking_dirty": o.GEO_BLOCKING_DIRTY,
         "dedup_exact": o.DEDUP_EXACT,

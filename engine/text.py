@@ -552,3 +552,48 @@ def pack_sequences(docs: ray.data.Dataset, window: int = 256,
 
     return bucketed.groupby("__b").map_groups(scan_bucket,
                                               batch_format="pandas")
+
+
+def mixture_sample(docs: ray.data.Dataset, seed: int = 1) -> ray.data.Dataset:
+    """Temperature-scaled language mixture sampling (the multilingual
+    rebalancing rule of mT5 / XLM-R, temperature tau = 2): every stratum is
+    kept at rate sqrt(n_lang / n_max), so the largest language passes
+    whole and smaller ones are up-weighted relative to proportional
+    sampling.  Membership is a pure md5 function of (doc_id, seed) —
+    identical at any parallelism.
+
+    Exactness: the per-language rate is ONE division + ONE sqrt (single
+    IEEE roundings each); the keep threshold floor(rate * 2^40) is exact
+    (floor of a double times a power of two), so the SQL oracle replicates
+    membership bit-for-bit.  The language count table is #langs rows —
+    a bounded driver collect at any corpus size."""
+    from ray.data.aggregate import Sum
+    SCALE = 1 << 40
+
+    def counts(batch: pa.Table) -> pa.Table:
+        langs, c = np.unique(np.asarray(batch.column("lang").to_pylist(),
+                                        dtype=object), return_counts=True)
+        return pa.table({"lang": pa.array(langs.tolist(), type=pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    cnt = docs.map_batches(counts, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("n", alias_name="n")).to_pandas()
+    n_max = int(cnt["n"].max())
+    thr = {l: int(np.floor(np.sqrt(np.float64(n) / np.float64(n_max))
+                           * SCALE))
+           for l, n in zip(cnt["lang"], cnt["n"])}
+    thr_ref = ray.put(thr)
+    holder: dict = {}
+
+    def sample(batch: pa.Table) -> pa.Table:
+        if "t" not in holder:
+            holder["t"] = ray.get(thr_ref)
+        t = holder["t"]
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        h = stable_hash64([f"mix|{seed}|{d}" for d in ids]) % np.uint64(SCALE)
+        cut = np.fromiter((t.get(l, 0) for l in langs), dtype=np.uint64,
+                          count=len(langs))
+        return batch.filter(pa.array(h < cut))
+
+    return docs.map_batches(sample, batch_format="pyarrow")

@@ -792,3 +792,24 @@ def test_geom_pair_features_known_rectangles(ray_session):
     assert out.loc["2", "centroid_dist"] == 10.0
     # A=(0..4), B=(2..6): inter 2*2=4, union 8+8-4=12 -> 1/3
     assert out.loc["3", "bbox_iou"] == 4.0 / 12.0
+
+
+def test_mixture_sample_rates(ray_session):
+    """Largest stratum is kept whole-ish (rate 1.0); a 1/4-size stratum is
+    kept at ~sqrt(1/4)=0.5; membership is parallelism-independent."""
+    from engine.text import mixture_sample
+    n = 2000
+    langs = ["big" if i % 5 else "small" for i in range(n)]  # 1600 / 400
+    t = pa.table({
+        "doc_id": pa.array(list(range(n)), type=pa.int64()),
+        "lang": pa.array(langs),
+    })
+    docs1 = ray.data.from_arrow(t)
+    docs8 = ray.data.from_arrow(t).repartition(8)
+    k1 = mixture_sample(docs1).to_pandas()
+    k8 = mixture_sample(docs8).to_pandas()
+    assert sorted(k1.doc_id) == sorted(k8.doc_id)
+    big = (k1.lang == "big").sum() / 1600
+    small = (k1.lang == "small").sum() / 400
+    assert big > 0.97                      # rate 1.0
+    assert abs(small - 0.5) < 0.08         # rate sqrt(400/1600) = 0.5
