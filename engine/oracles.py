@@ -1323,3 +1323,26 @@ SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d JOIN thr USING (lang)
 WHERE md5_number_upper('mix|1|' || d.doc_id) % 1099511627776 < thr.cut
 """
+
+
+# Per-tile zonal statistics (engine/spatial.py tile_stats, res 11 / 64 m):
+# object count, total and mean footprint area per covered tile.  Areas are
+# dyadic (exact f64) so the sums are order-independent; the mean is one
+# IEEE division.
+TILE_STATS = _DIMS_ALL + """
+, c AS (
+  SELECT k, CAST(floor(x0 / 64) AS BIGINT) AS ix, CAST(floor(y0 / 64) AS BIGINT) AS iy FROM d
+  UNION
+  SELECT k, CAST(floor((x0 + w) / 64) AS BIGINT), CAST(floor(y0 / 64) AS BIGINT) FROM d
+  UNION
+  SELECT k, CAST(floor(x0 / 64) AS BIGINT), CAST(floor((y0 + l) / 64) AS BIGINT) FROM d
+  UNION
+  SELECT k, CAST(floor((x0 + w) / 64) AS BIGINT), CAST(floor((y0 + l) / 64) AS BIGINT) FROM d
+)
+SELECT (CAST(11 AS BIGINT) << 52) | (c.ix << 26) | c.iy AS cell,
+       count(*) AS n_objects,
+       SUM(d.w * d.l) AS footprint_area,
+       SUM(d.w * d.l) / count(*) AS mean_area
+FROM c JOIN d USING (k)
+GROUP BY c.ix, c.iy
+"""

@@ -115,6 +115,21 @@ def geo_tiles(sf_dir: str):
         props.map_batches(cands_only, batch_format="pyarrow"), res=11)
 
 
+def geo_tile_stats(sf_dir: str):
+    """Per-tile zonal statistics (count / total / mean footprint area per
+    64 m tile) — the aggregate half of the raster<->vector story, combiner
+    pre-aggregation before the cell groupby.  Oracle-exact (dyadic sums +
+    one mean division)."""
+    import pyarrow.compute as pc
+    props = _props(sf_dir)
+
+    def cands_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("source"), pa.scalar("cands")))
+
+    return spatial.tile_stats(
+        props.map_batches(cands_only, batch_format="pyarrow"), res=11)
+
+
 def geo_pip(sf_dir: str):
     """Point-in-polygon join: per-doc probe points vs all cand footprints."""
     props = _props(sf_dir)
@@ -963,6 +978,7 @@ QUERIES = {
     "geo_properties_roofs": geo_properties_roofs,
     "geo_centroids": geo_centroids,
     "geo_tiles": geo_tiles,
+    "geo_tile_stats": geo_tile_stats,
     "geo_pip": geo_pip,
     "geo_knn_spatial": geo_knn_spatial,
     "geo_pair_features": geo_pair_features,
@@ -1029,6 +1045,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_properties_roofs": o.GEO_PROPERTIES_ROOFS,
         "geo_centroids": o.GEO_CENTROIDS,
         "geo_tiles": o.GEO_TILES,
+        "geo_tile_stats": o.TILE_STATS,
         "geo_pip": o.GEO_PIP,
         "geo_knn_spatial": o.GEO_KNN,
         "geo_pair_features": o.GEO_PAIR_FEATURES,

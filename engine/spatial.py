@@ -297,3 +297,59 @@ def geom_pair_features(cands: ray.data.Dataset,
         })
 
     return cands.map_batches(feats, batch_format="pyarrow")
+
+
+def tile_stats(props: ray.data.Dataset, res: int = 11) -> ray.data.Dataset:
+    """Per-tile raster statistics over the bbox tile cover: object count,
+    total footprint area, mean footprint area — the zonal-statistics half
+    of the raster<->vector story (tiles_dataset is the assignment half).
+
+    Combiner shape: each batch pre-aggregates its (cell -> n, area) sums so
+    the groupby shuffles #blocks x #cells-per-block rows, never the cover
+    explode.  Footprint areas are dyadic rationals (exact f64), so the sums
+    are order-independent and the single mean division replicates in SQL."""
+    from ray.data.aggregate import Sum
+    cs = cells.cell_size(res)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x0 = batch.column("x0").to_numpy()
+        y0 = batch.column("y0").to_numpy()
+        w = batch.column("bounding_box_width").to_numpy()
+        l = batch.column("bounding_box_length").to_numpy()
+        ix0 = np.floor(x0 / cs).astype(np.int64)
+        ix1 = np.floor((x0 + w) / cs).astype(np.int64)
+        iy0 = np.floor(y0 / cs).astype(np.int64)
+        iy1 = np.floor((y0 + l) / cs).astype(np.int64)
+        nx, ny = ix1 - ix0 + 1, iy1 - iy0 + 1
+        counts = nx * ny
+        row_idx = np.repeat(np.arange(len(x0)), counts)
+        local = np.concatenate([np.arange(c) for c in counts]) \
+            if len(counts) else np.empty(0, dtype=np.int64)
+        ix = ix0[row_idx] + local // ny[row_idx]
+        iy = iy0[row_idx] + local % ny[row_idx]
+        cell = cells.encode(res, ix, iy)
+        area = (w * l)[row_idx]
+        u, inv = np.unique(cell, return_inverse=True)
+        n = np.zeros(len(u), dtype=np.int64)
+        a = np.zeros(len(u), dtype=np.float64)
+        np.add.at(n, inv, 1)
+        np.add.at(a, inv, area)
+        return pa.table({"cell": pa.array(u, type=pa.int64()),
+                         "n": pa.array(n),
+                         "area": pa.array(a, type=pa.float64())})
+
+    agg = props.map_batches(partial, batch_format="pyarrow") \
+        .groupby("cell").aggregate(Sum("n", alias_name="n_objects"),
+                                   Sum("area", alias_name="footprint_area"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_objects").to_numpy()
+        a = b.column("footprint_area").to_numpy()
+        return pa.table({
+            "cell": b.column("cell"),
+            "n_objects": b.column("n_objects"),
+            "footprint_area": b.column("footprint_area"),
+            "mean_area": pa.array(a / n, type=pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
