@@ -1346,3 +1346,24 @@ SELECT (CAST(11 AS BIGINT) << 52) | (c.ix << 26) | c.iy AS cell,
 FROM c JOIN d USING (k)
 GROUP BY c.ix, c.iy
 """
+
+
+# Spatial range self-join (engine/spatial.py range_join, gap d = 8 m):
+# all cand pairs whose footprint rectangles are within euclidean distance d
+# (closed-form rectangle distance: clamped per-axis gaps, one sqrt); the
+# query uses d = 2000 m, sized to the sparse uniform test world.
+GEO_RANGE_JOIN = _DIMS_ALL + """
+, r AS (
+  SELECT k, x0, y0, x0 + w AS x1, y0 + l AS y1 FROM d
+)
+SELECT a.k AS a_id, b.k AS b_id,
+  sqrt(GREATEST(b.x0 - a.x1, a.x0 - b.x1, 0)
+         * GREATEST(b.x0 - a.x1, a.x0 - b.x1, 0)
+       + GREATEST(b.y0 - a.y1, a.y0 - b.y1, 0)
+         * GREATEST(b.y0 - a.y1, a.y0 - b.y1, 0)) AS dist
+FROM r a JOIN r b ON a.k < b.k
+WHERE sqrt(GREATEST(b.x0 - a.x1, a.x0 - b.x1, 0)
+             * GREATEST(b.x0 - a.x1, a.x0 - b.x1, 0)
+           + GREATEST(b.y0 - a.y1, a.y0 - b.y1, 0)
+             * GREATEST(b.y0 - a.y1, a.y0 - b.y1, 0)) <= 2000.0
+"""

@@ -115,6 +115,23 @@ def geo_tiles(sf_dir: str):
         props.map_batches(cands_only, batch_format="pyarrow"), res=11)
 
 
+def geo_range_join(sf_dir: str):
+    """Spatial range self-join (gap <= 2000 m — sized to the sparse test
+    world's density; exact rectangle distance): expanded-bbox cell cover at
+    res 5 (4096 m cells >= d, the lossless grid bound) -> coarse-bucket
+    per-cell pair generation -> exact verify -> cross-cell distinct.
+    Oracle-exact."""
+    import pyarrow.compute as pc
+    props = _props(sf_dir)
+
+    def cands_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("source"), pa.scalar("cands")))
+
+    return spatial.range_join(
+        props.map_batches(cands_only, batch_format="pyarrow"), d=2000.0,
+        res=5)
+
+
 def geo_tile_stats(sf_dir: str):
     """Per-tile zonal statistics (count / total / mean footprint area per
     64 m tile) — the aggregate half of the raster<->vector story, combiner
@@ -979,6 +996,7 @@ QUERIES = {
     "geo_centroids": geo_centroids,
     "geo_tiles": geo_tiles,
     "geo_tile_stats": geo_tile_stats,
+    "geo_range_join": geo_range_join,
     "geo_pip": geo_pip,
     "geo_knn_spatial": geo_knn_spatial,
     "geo_pair_features": geo_pair_features,
@@ -1046,6 +1064,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_centroids": o.GEO_CENTROIDS,
         "geo_tiles": o.GEO_TILES,
         "geo_tile_stats": o.TILE_STATS,
+        "geo_range_join": o.GEO_RANGE_JOIN,
         "geo_pip": o.GEO_PIP,
         "geo_knn_spatial": o.GEO_KNN,
         "geo_pair_features": o.GEO_PAIR_FEATURES,

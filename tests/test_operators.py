@@ -813,3 +813,33 @@ def test_mixture_sample_rates(ray_session):
     small = (k1.lang == "small").sum() / 400
     assert big > 0.97                      # rate 1.0
     assert abs(small - 0.5) < 0.08         # rate sqrt(400/1600) = 0.5
+
+
+def test_range_join_losslessness_vs_brute(ray_session):
+    """Cell-cover range join == brute-force O(n^2) rectangle distances on a
+    random layout (including pairs straddling cell boundaries)."""
+    from engine.spatial import range_join
+    rng = np.random.default_rng(11)
+    n = 120
+    x0 = rng.uniform(0, 20000, n).round(1)
+    y0 = rng.uniform(0, 20000, n).round(1)
+    w = rng.uniform(4, 30, n).round(1)
+    l = rng.uniform(4, 30, n).round(1)
+    props = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([str(i) for i in range(n)]),
+        "x0": pa.array(x0), "y0": pa.array(y0),
+        "bounding_box_width": pa.array(w),
+        "bounding_box_length": pa.array(l),
+    })).repartition(6)
+    d = 1500.0
+    got = range_join(props, d=d, res=6).to_pandas()   # cell 2048 >= d
+    gk = set(map(tuple, got[["a_id", "b_id"]].to_numpy()))
+    want = set()
+    x1, y1 = x0 + w, y0 + l
+    for i in range(n):
+        for j in range(i + 1, n):
+            mx = max(x0[j] - x1[i], x0[i] - x1[j], 0.0)
+            my = max(y0[j] - y1[i], y0[i] - y1[j], 0.0)
+            if np.sqrt(mx * mx + my * my) <= d:
+                want.add((i, j))
+    assert gk == want and len(want) > 10
