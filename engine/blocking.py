@@ -270,7 +270,8 @@ def bkafi_nn_dataset(cand_props: ray.data.Dataset, index_df: pd.DataFrame,
 
     cands = cand_props.select_columns(["doc_id", *features]) \
         .repartition(concurrency * 4)
-    nn = cands.map_batches(knn_fn, batch_format="pyarrow", batch_size=1024)
+    nn = cands.map_batches(knn_fn, batch_format="pyarrow", batch_size=1024,
+                           concurrency=concurrency)
     return nn, time.time() - start
 
 

@@ -243,9 +243,10 @@ def _dedup_keyed_rows(ds: ray.data.Dataset,
     def tag(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return b.append_column("__db", pa.array([], type=pa.int64()))
-        h = (b.column(keys[0]).to_numpy().astype(np.uint64)
-             * np.uint64(0x9E3779B97F4A7C15)) \
-            ^ b.column(keys[1]).to_numpy().astype(np.uint64)
+        h = np.zeros(b.num_rows, dtype=np.uint64)
+        for k in keys:  # fold every key column into the bucket hash
+            h = (h ^ b.column(k).to_numpy().astype(np.uint64)) \
+                * np.uint64(0x9E3779B97F4A7C15)
         return b.append_column(
             "__db", pa.array((h % NUM_BUCKETS).astype(np.int64)))
 

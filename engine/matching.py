@@ -767,4 +767,4 @@ def predict_dataset(ds: ray.data.Dataset, model, feature_cols: list[str],
         return holder["a"](batch)
 
     return ds.map_batches(predict_fn, batch_format="pyarrow",
-                          batch_size=batch_size)
+                          batch_size=batch_size, concurrency=concurrency)

@@ -85,7 +85,7 @@ def pair_features_dataset(pairs: ray.data.Dataset,
         return holder["a"](batch)
 
     return pairs.map_batches(ratio_fn, batch_format="pyarrow",
-                             batch_size=16384)
+                             batch_size=16384, concurrency=concurrency)
 
 
 BROADCAST_MAX_SIDE_ROWS = 2_000_000  # ~430 MB of f64 side matrix per side

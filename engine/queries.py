@@ -1000,7 +1000,6 @@ QUERIES = {
     "geo_pip": geo_pip,
     "geo_knn_spatial": geo_knn_spatial,
     "geo_pair_features": geo_pair_features,
-    "geo_pair_features": geo_pair_features,
     "geo_block_bkafi": geo_block_bkafi,
     "geo_match": geo_match,
     "geo_blocking_metrics": geo_blocking_metrics,

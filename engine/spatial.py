@@ -23,6 +23,24 @@ from engine import cells
 # Tiling: object footprint -> covering cell set (raster side of raster<->vector)
 # ---------------------------------------------------------------------------
 
+def _batch_cover(ex0, ey0, ex1, ey1, cs):
+    """Vectorized bbox -> covering cell-index explode shared by
+    tiles_dataset / tile_stats / range_join: returns (row_idx, ix, iy) with
+    one output row per (input row, covered cell)."""
+    ix0 = np.floor(ex0 / cs).astype(np.int64)
+    ix1 = np.floor(ex1 / cs).astype(np.int64)
+    iy0 = np.floor(ey0 / cs).astype(np.int64)
+    iy1 = np.floor(ey1 / cs).astype(np.int64)
+    nx, ny = ix1 - ix0 + 1, iy1 - iy0 + 1
+    counts = nx * ny
+    row = np.repeat(np.arange(len(ex0)), counts)
+    local = np.concatenate([np.arange(c) for c in counts]) \
+        if len(counts) else np.empty(0, dtype=np.int64)
+    ix = ix0[row] + local // ny[row]
+    iy = iy0[row] + local % ny[row]
+    return row, ix, iy
+
+
 def tiles_dataset(props: ray.data.Dataset, res: int = 11) -> ray.data.Dataset:
     """(doc_id, x0, y0, bounding_box_width/length) -> (doc_id, cell) rows.
 
@@ -37,19 +55,9 @@ def tiles_dataset(props: ray.data.Dataset, res: int = 11) -> ray.data.Dataset:
         y0 = batch.column("y0").to_numpy()
         w = batch.column("bounding_box_width").to_numpy()
         l = batch.column("bounding_box_length").to_numpy()
-        ix0 = np.floor(x0 / cs).astype(np.int64)
-        ix1 = np.floor((x0 + w) / cs).astype(np.int64)
-        iy0 = np.floor(y0 / cs).astype(np.int64)
-        iy1 = np.floor((y0 + l) / cs).astype(np.int64)
-        nx = ix1 - ix0 + 1
-        ny = iy1 - iy0 + 1
-        counts = nx * ny
-        doc_ids = np.repeat(np.asarray(batch.column("doc_id").to_pylist(), dtype=object), counts)
-        # per-row meshgrid, vectorized with repeat/tile arithmetic
-        row_idx = np.repeat(np.arange(len(x0)), counts)
-        local = np.concatenate([np.arange(c) for c in counts]) if len(counts) else np.empty(0, dtype=np.int64)
-        ix = ix0[row_idx] + local // ny[row_idx]
-        iy = iy0[row_idx] + local % ny[row_idx]
+        row_idx, ix, iy = _batch_cover(x0, y0, x0 + w, y0 + l, cs)
+        doc_ids = np.asarray(batch.column("doc_id").to_pylist(),
+                             dtype=object)[row_idx]
         cell = cells.encode(res, ix, iy)
         return pa.table({
             "doc_id": pa.array(doc_ids.tolist(), type=pa.string()),
@@ -316,17 +324,7 @@ def tile_stats(props: ray.data.Dataset, res: int = 11) -> ray.data.Dataset:
         y0 = batch.column("y0").to_numpy()
         w = batch.column("bounding_box_width").to_numpy()
         l = batch.column("bounding_box_length").to_numpy()
-        ix0 = np.floor(x0 / cs).astype(np.int64)
-        ix1 = np.floor((x0 + w) / cs).astype(np.int64)
-        iy0 = np.floor(y0 / cs).astype(np.int64)
-        iy1 = np.floor((y0 + l) / cs).astype(np.int64)
-        nx, ny = ix1 - ix0 + 1, iy1 - iy0 + 1
-        counts = nx * ny
-        row_idx = np.repeat(np.arange(len(x0)), counts)
-        local = np.concatenate([np.arange(c) for c in counts]) \
-            if len(counts) else np.empty(0, dtype=np.int64)
-        ix = ix0[row_idx] + local // ny[row_idx]
-        iy = iy0[row_idx] + local % ny[row_idx]
+        row_idx, ix, iy = _batch_cover(x0, y0, x0 + w, y0 + l, cs)
         cell = cells.encode(res, ix, iy)
         area = (w * l)[row_idx]
         u, inv = np.unique(cell, return_inverse=True)
@@ -378,19 +376,8 @@ def range_join(props: ray.data.Dataset, d: float = 8.0,
         y0 = batch.column("y0").to_numpy()
         w = batch.column("bounding_box_width").to_numpy()
         l = batch.column("bounding_box_length").to_numpy()
-        ex0, ey0 = x0 - half, y0 - half
-        ex1, ey1 = x0 + w + half, y0 + l + half
-        ix0 = np.floor(ex0 / cs).astype(np.int64)
-        ix1 = np.floor(ex1 / cs).astype(np.int64)
-        iy0 = np.floor(ey0 / cs).astype(np.int64)
-        iy1 = np.floor(ey1 / cs).astype(np.int64)
-        nx, ny = ix1 - ix0 + 1, iy1 - iy0 + 1
-        counts = nx * ny
-        row = np.repeat(np.arange(len(x0)), counts)
-        local = np.concatenate([np.arange(c) for c in counts]) \
-            if len(counts) else np.empty(0, dtype=np.int64)
-        ix = ix0[row] + local // ny[row]
-        iy = iy0[row] + local % ny[row]
+        row, ix, iy = _batch_cover(x0 - half, y0 - half,
+                                   x0 + w + half, y0 + l + half, cs)
         ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=object)
         cell = cells.encode(res, ix, iy)
         return pa.table({
