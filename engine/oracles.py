@@ -1367,3 +1367,34 @@ WHERE sqrt(GREATEST(b.x0 - a.x1, a.x0 - b.x1, 0)
            + GREATEST(b.y0 - a.y1, a.y0 - b.y1, 0)
              * GREATEST(b.y0 - a.y1, a.y0 - b.y1, 0)) <= 2000.0
 """
+
+
+# Unigram LM-cost quality filter (engine/text.py lm_quality): per-token
+# dyadic code length k = min(16, ceil(log2(T / c))) computed by integer
+# bit_length arithmetic (printf('%b')), per-doc bit sums, one exact
+# bits-per-token division, integer cross-multiplied keep at 9 bits/token.
+LM_QUALITY = """
+WITH e AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), u AS (
+  SELECT tok, count(*) AS n FROM e GROUP BY tok
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS T FROM u
+), k AS (
+  SELECT tok,
+         LEAST(16, CASE
+           WHEN ((SELECT T FROM t) + n - 1) // n - 1 = 0 THEN 0
+           ELSE length(printf('%b',
+                CAST(((SELECT T FROM t) + n - 1) // n - 1 AS BIGINT)))
+         END) AS cost
+  FROM u
+), d AS (
+  SELECT e.doc_id, CAST(sum(k.cost) AS BIGINT) AS bits,
+         count(*) AS n_tokens
+  FROM e JOIN k USING (tok) GROUP BY e.doc_id
+)
+SELECT doc_id, n_tokens, bits,
+       CAST(bits AS DOUBLE) / n_tokens AS bits_per_token,
+       bits * 1 <= 9 * n_tokens AS keep
+FROM d
+"""

@@ -811,6 +811,14 @@ def corpus_sample(sf_dir: str):
                                   default_rate=0.75, seed=1)
 
 
+def lm_quality(sf_dir: str):
+    """Unigram LM-cost quality filter (CCNet/KenLM archetype, integer-exact
+    dyadic code lengths): per-doc bits, bits-per-token, keep at 9 bits/token.
+    Oracle-exact including the model fit."""
+    from engine.text import lm_quality as _lm
+    return _lm(_docs(sf_dir))
+
+
 def mixture_sample(sf_dir: str):
     """Temperature-scaled multilingual mixture sampling (mT5/XLM-R tau=2):
     keep rate sqrt(n_lang/n_max) with md5 membership; bounded #langs driver
@@ -1033,6 +1041,7 @@ QUERIES = {
     "quality_filter": quality_filter,
     "corpus_sample": corpus_sample,
     "mixture_sample": mixture_sample,
+    "lm_quality": lm_quality,
     "decontam": decontam,
     "dedup_exact": dedup_exact,
     "dedup_ngram": dedup_ngram,
@@ -1088,6 +1097,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": o.QUALITY_FILTER,
         "corpus_sample": o.CORPUS_SAMPLE,
         "mixture_sample": o.MIXTURE_SAMPLE,
+        "lm_quality": o.LM_QUALITY,
         "decontam": o.DECONTAM,
         "geo_blocking_dirty": o.GEO_BLOCKING_DIRTY,
         "dedup_exact": o.DEDUP_EXACT,

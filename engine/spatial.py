@@ -246,8 +246,10 @@ def geom_pair_features(cands: ray.data.Dataset,
                        index_df: pd.DataFrame) -> ray.data.Dataset:
     """Geometric pair features (the north-rule match-feature trio): for every
     cand with a same-key index entity, the centroid distance, the
-    axis-aligned footprint-bbox IoU, and the exact rectangle Hausdorff
-    distance (closed form for convex rectangles: the max over both
+    footprint-bbox IoU (the generative corpus's buildings are axis-aligned
+    rectangles, so the axis-aligned box IS the oriented bounding box here;
+    for rotated footprints swap in the eigen-aligned extents from the
+    property stage), and the exact rectangle Hausdorff distance (closed form for convex rectangles: the max over both
     directions of the farthest corner-to-rectangle distance — for convex
     sets h(A,B) is attained at a vertex of A).
 

@@ -597,3 +597,60 @@ def mixture_sample(docs: ray.data.Dataset, seed: int = 1) -> ray.data.Dataset:
         return batch.filter(pa.array(h < cut))
 
     return docs.map_batches(sample, batch_format="pyarrow")
+
+
+def lm_quality(docs: ray.data.Dataset, max_cost: int = 16,
+               thr_num: int = 9, thr_den: int = 1) -> ray.data.Dataset:
+    """Unigram LM-cost quality filter — the CCNet / KenLM perplexity-filter
+    archetype with an integer-exact cost model: each token's cost is the
+    dyadic code length k(tok) = min(max_cost, ceil(log2(T / c(tok)))) bits
+    (T = corpus token count, c = token count — i.e. -log2 of the unigram
+    probability rounded UP to whole bits; unseen tokens would pay
+    ``max_cost``).  Per doc: total bits, bits-per-token (one exact IEEE
+    division), and keep = bits <= (thr_num/thr_den) per token, tested as
+    the integer cross-multiplication bits * thr_den <= thr_num * n_tokens.
+
+    ceil(log2(T/c)) is computed by pure integer arithmetic (bit_length of
+    the ceiling quotient minus one), so the whole table — model fit
+    included — replicates bit-for-bit in SQL.  The unigram table is built
+    with the per-block partial-count combiner + tiny groupby and broadcast
+    once (vocabulary-bounded; at open-web scale keep the heavy-hitters
+    top-K and charge ``max_cost`` for the tail)."""
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = [t.split(" ") for t in batch.column("text").to_pylist()]
+        flat = np.asarray([w for ws in toks for w in ws], dtype=object)
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table({"tok": pa.array(u.tolist(), type=pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    cnt = docs.map_batches(counts, batch_format="pyarrow") \
+        .groupby("tok").aggregate(Sum("n", alias_name="n")).to_pandas()
+    T = int(cnt["n"].sum())
+    # k = ceil(log2(T / c)) = bit_length(ceil(T/c) - 1), exact in ints
+    cost = {tok: min(max_cost, max(int(-(-T // n) - 1).bit_length(), 0))
+            for tok, n in zip(cnt["tok"], cnt["n"])}
+    ref = ray.put(cost)
+    holder: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        if "c" not in holder:
+            holder["c"] = ray.get(ref)
+        cmap = holder["c"]
+        texts = batch.column("text").to_pylist()
+        bits = np.empty(len(texts), dtype=np.int64)
+        ntok = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = t.split(" ")
+            ntok[i] = len(ws)
+            bits[i] = sum(cmap.get(w, max_cost) for w in ws)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(ntok),
+            "bits": pa.array(bits),
+            "bits_per_token": pa.array(bits / ntok, type=pa.float64()),
+            "keep": pa.array(bits * thr_den <= thr_num * ntok),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow")

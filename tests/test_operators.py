@@ -843,3 +843,25 @@ def test_range_join_losslessness_vs_brute(ray_session):
             if np.sqrt(mx * mx + my * my) <= d:
                 want.add((i, j))
     assert gk == want and len(want) > 10
+
+
+def test_lm_quality_cost_model(ray_session):
+    """Dyadic code lengths: a token that is half the corpus costs 1 bit, a
+    singleton costs ceil(log2 T); rare-token docs are rejected."""
+    from engine.text import lm_quality
+    # corpus: 'a' x 8, 'b' x 4, 'c' x 2, 'd' x 1, 'e' x 1  -> T = 16
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([
+            "a a a a a a a a",        # cost(a) = ceil(log2(16/8)) = 1
+            "b b b b c c d",          # b: 2 bits, c: 3 bits, d: 4 bits
+            "e",                      # e: ceil(log2 16) = 4 bits
+        ]),
+    }))
+    out = lm_quality(docs, thr_num=2, thr_den=1).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[0, "bits"] == 8 and bool(out.loc[0, "keep"])
+    assert out.loc[1, "bits"] == 4 * 2 + 2 * 3 + 4   # 18
+    assert out.loc[1, "bits_per_token"] == 18.0 / 7.0
+    assert not bool(out.loc[1, "keep"])               # 18 > 2*7
+    assert out.loc[2, "bits"] == 4 and not bool(out.loc[2, "keep"])
