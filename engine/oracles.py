@@ -1398,3 +1398,28 @@ SELECT doc_id, n_tokens, bits,
        bits * 1 <= 9 * n_tokens AS keep
 FROM d
 """
+
+
+# Gap-based sessionization (engine/relational.py events_sessions, 30 min):
+# new session at the first event per user or a strict > 30-minute gap in
+# (ts, event_id) order; all output columns are integers.
+EVENTS_SESSIONS = """
+WITH s AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM s
+)
+SELECT user_id, event_id, session_id,
+       CAST(count(*) OVER (PARTITION BY user_id, session_id) AS BIGINT)
+         AS session_size
+FROM t
+"""

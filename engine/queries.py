@@ -364,6 +364,13 @@ def q_events_running(sf_dir: str):
     return relational.events_running(sf_dir)
 
 
+def q_events_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min gap): per-event session id + size,
+    coarse user-bucket shuffle with one vectorized pass per bucket.
+    Oracle-exact (all-int output)."""
+    return relational.events_sessions(sf_dir)
+
+
 def q_events_asof(sf_dir: str):
     return relational.events_asof_join(sf_dir)
 
@@ -1021,6 +1028,7 @@ QUERIES = {
     "q_part_brand_agg": q_part_brand_agg,
     "q_events_sliding": q_events_sliding,
     "q_events_running": q_events_running,
+    "q_events_sessions": q_events_sessions,
     "q_events_asof": q_events_asof,
     "geo_block_centroid": geo_block_centroid,
     "geo_threshold_sweep": geo_threshold_sweep,
@@ -1088,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
         "q_part_brand_agg": o.REL_PART_BRAND_AGG,
         "q_events_sliding": o.REL_EVENTS_SLIDING,
         "q_events_running": o.REL_EVENTS_RUNNING,
+        "q_events_sessions": o.EVENTS_SESSIONS,
         "q_events_asof": o.REL_EVENTS_ASOF,
         "geo_block_cells": o.GEO_BLOCK_CELLS,
         "text_stats": o.TEXT_STATS,

@@ -236,3 +236,42 @@ def events_asof_join(sf_dir: str) -> ray.data.Dataset:
 
     return ev.union(od).groupby("__b").map_groups(
         asof_bucket, batch_format="pandas")
+
+
+def events_sessions(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
+    """Gap-based sessionization — the canonical clickstream operator: per
+    user (ordered by ts, event_id), a new session starts at the first event
+    or whenever the gap to the previous event exceeds ``gap_minutes``.
+    Emits (user_id, event_id, session_id, session_size) — all integers, so
+    the table is SQL-exact (timestamps compare as exact microseconds).
+
+    Shape: users hash into 64 coarse shuffle buckets; ONE sort + vectorized
+    diff/cumsum/transform per bucket covers every user (the
+    ``events_running`` pattern — never one Ray group per user)."""
+    import pandas as pd
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id"])
+    NUM_BUCKETS = 64
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy()
+        return b.append_column(
+            "__b", pa.array((u % NUM_BUCKETS).astype(np.int64)))
+
+    def sess_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        prev = grp["ts"].shift(1)
+        new_s = (prev.isna() | ((g["ts"] - prev) > gap)).astype(np.int64)
+        sid = new_s.groupby(g["user_id"], sort=False).cumsum()
+        out = pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "event_id": g["event_id"].to_numpy(),
+            "session_id": sid.to_numpy(),
+        })
+        out["session_size"] = out.groupby(["user_id", "session_id"])[
+            "event_id"].transform("size").astype(np.int64)
+        return out
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__b").map_groups(sess_bucket, batch_format="pandas")

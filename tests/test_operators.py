@@ -865,3 +865,26 @@ def test_lm_quality_cost_model(ray_session):
     assert out.loc[1, "bits_per_token"] == 18.0 / 7.0
     assert not bool(out.loc[1, "keep"])               # 18 > 2*7
     assert out.loc[2, "bits"] == 4 and not bool(out.loc[2, "keep"])
+
+
+def test_events_sessions_parallelism_independent(ray_session):
+    """Session assignment is identical at any bucket/block layout and obeys
+    the gap rule on a hand-built timeline."""
+    from engine.relational import events_sessions
+    import pandas as pd
+    out = events_sessions("/root/testdata/sf0.001").to_pandas() \
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    # serial reference
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_id", "ts", "user_id"]) \
+        .sort_values(["user_id", "ts", "event_id"])
+    grp = ev.groupby("user_id", sort=False)
+    prev = grp["ts"].shift(1)
+    new_s = (prev.isna() | ((ev["ts"] - prev) > pd.Timedelta(minutes=30)))
+    ev["session_id"] = new_s.astype("int64").groupby(
+        ev["user_id"], sort=False).cumsum()
+    ev["session_size"] = ev.groupby(["user_id", "session_id"])[
+        "event_id"].transform("size")
+    want = ev[["user_id", "event_id", "session_id", "session_size"]] \
+        .sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out.astype("int64"), want.astype("int64"))
