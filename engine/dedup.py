@@ -846,17 +846,16 @@ def decontaminate(train: ray.data.Dataset, benchmark: ray.data.Dataset,
         if len(stream) and len(bench):
             idx = np.searchsorted(bench, stream)
             idx[idx == len(bench)] = 0
-            # int64, NOT bool: np.add.reduceat on bool is logical-OR
             hit = (bench[idx] == stream).astype(np.int64)
         else:
             hit = np.zeros(len(stream), dtype=np.int64)
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        if len(hit):
-            # clamp starts of trailing zero-gram docs (masked to 0 below)
-            hits = np.add.reduceat(hit, np.minimum(starts, len(hit) - 1))
-        else:
-            hits = np.zeros(len(counts), dtype=np.int64)
-        hits = np.where(counts > 0, hits, 0).astype(np.int64)
+        # per-doc segment sums via cumsum (exact for zero-gram docs anywhere
+        # in the batch, unlike reduceat whose clamped starts could swallow
+        # the preceding doc's final hit when a zero-gram doc ends the batch)
+        counts = np.asarray(counts, dtype=np.int64)
+        cs = np.concatenate([[0], np.cumsum(hit)])
+        ends = np.cumsum(counts)
+        hits = (cs[ends] - cs[ends - counts]).astype(np.int64)
         return pa.table({
             "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
             "n_grams": pa.array(counts),

@@ -71,14 +71,19 @@ FROM d WHERE k % 5 = 0
 
 
 GEO_TILES = _DIMS_ALL + """
-, c AS (
-  SELECT k, CAST(floor(x0 / 64) AS BIGINT) AS ix, CAST(floor(y0 / 64) AS BIGINT) AS iy FROM d
-  UNION
-  SELECT k, CAST(floor((x0 + w) / 64) AS BIGINT), CAST(floor(y0 / 64) AS BIGINT) FROM d
-  UNION
-  SELECT k, CAST(floor(x0 / 64) AS BIGINT), CAST(floor((y0 + l) / 64) AS BIGINT) FROM d
-  UNION
-  SELECT k, CAST(floor((x0 + w) / 64) AS BIGINT), CAST(floor((y0 + l) / 64) AS BIGINT) FROM d
+, cx AS (
+  -- full ix x iy range cover: matches the engine's _batch_cover at ANY
+  -- res / footprint size (the old 4-corner UNION agreed only because no
+  -- footprint spans 3+ cells of a 64 m tile on this corpus)
+  SELECT k, y0, l,
+         unnest(generate_series(CAST(floor(x0 / 64) AS BIGINT),
+                                CAST(floor((x0 + w) / 64) AS BIGINT))) AS ix
+  FROM d
+), c AS (
+  SELECT k, ix,
+         unnest(generate_series(CAST(floor(y0 / 64) AS BIGINT),
+                                CAST(floor((y0 + l) / 64) AS BIGINT))) AS iy
+  FROM cx
 )
 SELECT CAST(k AS VARCHAR) AS doc_id,
        (CAST(11 AS BIGINT) << 52) | (ix << 26) | iy AS cell
@@ -1330,14 +1335,19 @@ WHERE md5_number_upper('mix|1|' || d.doc_id) % 1099511627776 < thr.cut
 # dyadic (exact f64) so the sums are order-independent; the mean is one
 # IEEE division.
 TILE_STATS = _DIMS_ALL + """
-, c AS (
-  SELECT k, CAST(floor(x0 / 64) AS BIGINT) AS ix, CAST(floor(y0 / 64) AS BIGINT) AS iy FROM d
-  UNION
-  SELECT k, CAST(floor((x0 + w) / 64) AS BIGINT), CAST(floor(y0 / 64) AS BIGINT) FROM d
-  UNION
-  SELECT k, CAST(floor(x0 / 64) AS BIGINT), CAST(floor((y0 + l) / 64) AS BIGINT) FROM d
-  UNION
-  SELECT k, CAST(floor((x0 + w) / 64) AS BIGINT), CAST(floor((y0 + l) / 64) AS BIGINT) FROM d
+, cx AS (
+  -- full ix x iy range cover: matches the engine's _batch_cover at ANY
+  -- res / footprint size (the old 4-corner UNION agreed only because no
+  -- footprint spans 3+ cells of a 64 m tile on this corpus)
+  SELECT k, y0, l,
+         unnest(generate_series(CAST(floor(x0 / 64) AS BIGINT),
+                                CAST(floor((x0 + w) / 64) AS BIGINT))) AS ix
+  FROM d
+), c AS (
+  SELECT k, ix,
+         unnest(generate_series(CAST(floor(y0 / 64) AS BIGINT),
+                                CAST(floor((y0 + l) / 64) AS BIGINT))) AS iy
+  FROM cx
 )
 SELECT (CAST(11 AS BIGINT) << 52) | (c.ix << 26) | c.iy AS cell,
        count(*) AS n_objects,

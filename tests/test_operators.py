@@ -589,6 +589,32 @@ def test_decontaminate_flags_shared_ngrams(ray_session):
     assert out.loc[2, "n_grams"] == 0 and not bool(out.loc[2, "contaminated"])
 
 
+def test_decontaminate_last_gram_hit_before_empty_doc(ray_session):
+    """Regression: a doc whose FINAL shingle is the (only) hit, followed by
+    a zero-gram doc at the end of the same batch, must keep that hit.  The
+    old reduceat path clamped the trailing zero-gram doc's segment start to
+    len(hit)-1, stealing the preceding doc's last hit (counts=[2,2,0],
+    hit=[1,1,0,1] -> [2,0,0] instead of [2,1,0])."""
+    from engine.dedup import decontaminate
+    bench = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([100], type=pa.int64()),
+        "text": pa.array(["alpha beta gamma delta"]),  # grams: abg, bgd
+    }))
+    train = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta",  # both grams hit       -> hit=[1,1]
+            "zzz beta gamma delta",    # only LAST gram hits  -> hit=[0,1]
+            "one two",                 # zero grams, ends the batch
+        ]),
+    }))
+    out = decontaminate(train, bench, n=3).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[0, "n_hits"] == 2
+    assert out.loc[1, "n_hits"] == 1 and bool(out.loc[1, "contaminated"])
+    assert out.loc[2, "n_grams"] == 0 and not bool(out.loc[2, "contaminated"])
+
+
 def test_tfidf_topk_ranking(ray_session):
     """Rational tf-idf: rare terms outrank common ones; ties broken by term
     asc; rnk dense per doc; score == tf*N/df exactly."""
