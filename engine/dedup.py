@@ -867,7 +867,8 @@ def decontaminate(train: ray.data.Dataset, benchmark: ray.data.Dataset,
 
 
 def substring_dup_stats(docs: ray.data.Dataset, w: int = 8,
-                        num_buckets: int = 64) -> ray.data.Dataset:
+                        num_buckets: int = 64,
+                        hash_grams: bool = True) -> ray.data.Dataset:
     """Substring-level duplication profile (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better" — the ExactSubstr signal at
     token-window granularity): for every token position, is the w-token
@@ -883,8 +884,15 @@ def substring_dup_stats(docs: ray.data.Dataset, w: int = 8,
     the per-doc rows (bucketed hash join on the gram — no vocabulary
     broadcast assumption); (4) per-doc duplicated-position sums via the
     same combiner + groupby shape; (5) LEFT join against the per-doc
-    position base so zero-dup docs keep a row.  Gram strings (not hashes)
-    ride the shuffle so the SQL oracle replicates bit-for-bit."""
+    position base so zero-dup docs keep a row.
+
+    By default (``hash_grams=True``) only 8-byte md5-low-8 gram HASHES ride
+    the two shuffles — ~10x fewer shuffle bytes than w-token strings at
+    corpus scale.  The oracle stays bit-exact: DuckDB's md5_number_upper(s)
+    equals int.from_bytes(md5(s).digest()[:8], 'little'), so both sides
+    group/join on the same u64 (a collision, were one ever to occur, is
+    replicated identically on both sides).  ``hash_grams=False`` keeps the
+    string path for A/B equality testing."""
     from engine.joins import bucketed_hash_join
     from ray.data.aggregate import Sum
 
@@ -908,9 +916,21 @@ def substring_dup_stats(docs: ray.data.Dataset, w: int = 8,
             ids.extend([d] * len(u))
             grams.extend(u.tolist())
             cnts.extend(c.tolist())
+        if hash_grams:
+            # md5 once per gram; the u64 rides the shuffle as its int64
+            # two's-complement view (bijective — same groups/joins; Ray's
+            # groupby keeps int64 native where uint64 falls back to pickled
+            # objects)
+            hs = np.empty(len(grams), dtype=np.uint64)
+            for i, g in enumerate(grams):
+                hs[i] = int.from_bytes(hashlib.md5(g.encode()).digest()[:8],
+                                       "little")
+            gram_col = pa.array(hs.view(np.int64), type=pa.int64())
+        else:
+            gram_col = pa.array(grams, type=pa.string())
         return pa.table({
             "doc_id": pa.array(ids, type=pa.int64()),
-            "gram": pa.array(grams, type=pa.string()),
+            "gram": gram_col,
             "c": pa.array(np.asarray(cnts, dtype=np.int64)),
         })
 
@@ -920,9 +940,15 @@ def substring_dup_stats(docs: ray.data.Dataset, w: int = 8,
     pg = docs.map_batches(explode, batch_format="pyarrow")
 
     def block_df(batch: pa.Table) -> pa.Table:
-        g, n = np.unique(np.asarray(batch.column("gram").to_pylist(),
-                                    dtype=object), return_counts=True)
-        return pa.table({"gram": pa.array(g.tolist(), type=pa.string()),
+        if hash_grams:
+            g, n = np.unique(batch.column("gram").to_numpy(),
+                             return_counts=True)
+            gcol = pa.array(g, type=pa.int64())
+        else:
+            g, n = np.unique(np.asarray(batch.column("gram").to_pylist(),
+                                        dtype=object), return_counts=True)
+            gcol = pa.array(g.tolist(), type=pa.string())
+        return pa.table({"gram": gcol,
                          "n": pa.array(n.astype(np.int64))})
 
     df = pg.map_batches(block_df, batch_format="pyarrow") \
@@ -948,6 +974,12 @@ def substring_dup_stats(docs: ray.data.Dataset, w: int = 8,
     dup = j.map_batches(block_doc_sum, batch_format="pyarrow") \
         .groupby("doc_id").aggregate(Sum("dup_positions",
                                          alias_name="dup_positions"))
+    # schema-pinning empty seed: with zero duplicated grams (an all-unique
+    # corpus) the aggregate is empty and schema-less, which would crash the
+    # downstream left join — the union keeps the dtype contract either way
+    dup = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "dup_positions": pa.array([], type=pa.int64())})).union(dup)
 
     base_ds = docs.map_batches(base, batch_format="pyarrow")
     out = bucketed_hash_join(base_ds, dup, "doc_id", "doc_id",

@@ -1203,7 +1203,9 @@ DEDUP_SUBSTRING = _DUP_CORPUS + """
 ), base AS (
   SELECT doc_id, GREATEST(len(toks) - 7, 0) AS n_positions FROM t
 ), gr AS (
-  SELECT doc_id, array_to_string(toks[i:i + 7], ' ') AS gram
+  -- group/join on the md5-low-8 u64 gram hash, matching the engine's
+  -- hash_grams=True shuffle key (md5_number_upper == md5-low-8-little)
+  SELECT doc_id, md5_number_upper(array_to_string(toks[i:i + 7], ' ')) AS gram
   FROM (SELECT doc_id, toks,
                unnest(generate_series(1, len(toks) - 7)) AS i FROM t)
 ), pg AS (

@@ -789,6 +789,39 @@ def test_substring_dup_matches_serial_reference(ray_session):
             assert out.loc[d, "dup_frac"] == dup / np.float64(n_pos)
 
 
+def test_substring_dup_hash_path_equals_string_path(ray_session):
+    """The default u64 gram-hash shuffle (hash_grams=True) produces exactly
+    the string-key result — the A/B guard for the scale path."""
+    from engine.dedup import substring_dup_stats
+    ids, texts = _random_corpus(n_docs=60, seed=11)
+    dup_text = " ".join(texts[0].split() * 4)  # guaranteed >= w tokens
+    texts = [t if i % 7 else dup_text for i, t in enumerate(texts)]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(texts)}))
+    h = substring_dup_stats(docs, w=5, hash_grams=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert int(h["dup_positions"].sum()) > 0
+    s = substring_dup_stats(docs, w=5, hash_grams=False).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(h, s)
+
+
+def test_substring_dup_all_unique_corpus(ray_session):
+    """Zero duplicated grams (every window unique) must not crash the
+    empty-side join: every doc keeps a row with dup_positions == 0."""
+    from engine.dedup import substring_dup_stats
+    ids, texts = _random_corpus(n_docs=30, seed=13)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array([f"u{i}x " * 3 + t for i, t in enumerate(texts)])}))
+    out = substring_dup_stats(docs, w=12).to_pandas()
+    assert len(out) == 30
+    assert (out["dup_positions"] == 0).all()
+    assert not out["flag_remove"].any()
+
+
 def test_geom_pair_features_known_rectangles(ray_session):
     """Closed-form checks: identical rectangles -> IoU 1, Hausdorff 0;
     disjoint rectangles -> IoU 0, Hausdorff = far-corner distance;
