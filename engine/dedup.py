@@ -717,7 +717,8 @@ def embedding_near_dup(emb: ray.data.Dataset, threshold: float = 0.95,
 # ---------------------------------------------------------------------------
 
 def dup_clusters(pairs: ray.data.Dataset,
-                 max_iters: int = 50) -> ray.data.Dataset:
+                 max_iters: int = 50,
+                 small_graph_rows: int = 2_000_000) -> ray.data.Dataset:
     """Connected components over a (a_id, b_id) duplicate-pair table:
     one row per distinct doc appearing in a pair, labeled with the MIN doc id
     of its component (the canonical representative a dedup pass keeps).
@@ -733,11 +734,43 @@ def dup_clusters(pairs: ray.data.Dataset,
     rounds suffices at any corpus size; ``max_iters`` bounds the worst case.
     Each round is a full streaming pass — nothing driver-side but the
     1-row convergence aggregate.
+    Size-aware escape hatch: a pair table at or under ``small_graph_rows``
+    (the VERIFIED near-dup pairs — a vanishing fraction of any real corpus,
+    bounded by the LSH stop-bucket caps upstream) is a small-side problem;
+    it collects once and runs driver-side union-find with min-root labels —
+    identical output, none of the BSP rounds' shuffle latency.  Pass 0 to
+    force the distributed path (tests do).
     """
     from ray.data.aggregate import Min, Sum
     from engine.joins import bucketed_hash_join
 
     pairs = pairs.select_columns(["a_id", "b_id"]).materialize()
+
+    if pairs.count() <= small_graph_rows:
+        edges_df = pairs.to_pandas()
+        a = edges_df["a_id"].to_numpy(dtype=np.int64)
+        b = edges_df["b_id"].to_numpy(dtype=np.int64)
+        nodes = np.unique(np.concatenate([a, b]))
+        ai = np.searchsorted(nodes, a)
+        bi = np.searchsorted(nodes, b)
+        parent = np.arange(len(nodes))
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]   # path halving
+                i = parent[i]
+            return i
+
+        for x, y in zip(ai, bi):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                # union by MIN node id so every root is the canonical label
+                lo, hi = (rx, ry) if nodes[rx] <= nodes[ry] else (ry, rx)
+                parent[hi] = lo
+        labels_np = nodes[[find(i) for i in range(len(nodes))]]
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(nodes, type=pa.int64()),
+            "cluster_id": pa.array(labels_np, type=pa.int64())}))
 
     def undirected(batch: pa.Table) -> pa.Table:
         a = batch.column("a_id").to_numpy()
@@ -780,6 +813,7 @@ def dup_clusters(pairs: ray.data.Dataset,
 
 
 def semantic_dedup_ids(emb: ray.data.Dataset, threshold: float = 0.98,
+                       pairs: ray.data.Dataset | None = None,
                        **near_dup_kw) -> ray.data.Dataset:
     """SemDeDup-style corpus-level near-dup REMOVAL (Abbas et al. 2023's
     keep-one-per-semantic-cluster, on exact pairwise cosine rather than
@@ -790,11 +824,16 @@ def semantic_dedup_ids(emb: ray.data.Dataset, threshold: float = 0.98,
     Scale shape: the drop set flows through a bucketed anti-join, never a
     driver collect — at 100 TB a heavily-duplicated corpus makes the
     exclusion side corpus-scale, so broadcast_semi_join(anti=True) would be
-    the wrong plan."""
+    the wrong plan.
+
+    ``pairs`` accepts a precomputed near-dup pair table (a_id, b_id, ...) so
+    callers running dedup_embedding / dedup_clusters on the same corpus
+    share one pair computation instead of recomputing the LSH chain."""
     import pyarrow.compute as pc
 
     from engine.joins import bucketed_anti_join
-    pairs = embedding_near_dup(emb, threshold=threshold, **near_dup_kw)
+    if pairs is None:
+        pairs = embedding_near_dup(emb, threshold=threshold, **near_dup_kw)
     clusters = dup_clusters(pairs)
 
     def non_reps(b: pa.Table) -> pa.Table:

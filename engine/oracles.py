@@ -317,9 +317,9 @@ o2 AS (
   SELECT dist, row_number() OVER (ORDER BY dist) - 1 AS rn,
          count(*) OVER () AS n
   FROM md2
-), qs2 AS (SELECT unnest(generate_series(0, 19)) AS i),
+), qs2 AS (SELECT unnest(generate_series(0, 199)) AS i),
 qv2 AS (
-  SELECT i, CASE WHEN i = 19 THEN 100.0 ELSE i * (100.0 / 19) END AS q
+  SELECT i, CASE WHEN i = 199 THEN 100.0 ELSE i * (100.0 / 199) END AS q
   FROM qs2
 ), vv2 AS (
   SELECT i, q, (q / 100.0) * (n1 - 1) AS virt, n1

@@ -63,11 +63,37 @@ def side_frame(props: ray.data.Dataset, source: str,
 
 
 def side_ids(props: ray.data.Dataset) -> tuple[list[str], list[str]]:
-    """Narrow (doc_id, source) collect — drives the deterministic splits and
-    recall denominators; no property columns leave the cluster."""
+    """Narrow (doc_id, source) collect — test-fixture helper only; the prep
+    path applies the split predicate dataset-side (split_cands_dataset) and
+    never collects the cands id column."""
     pdf = props.select_columns(["doc_id", "source"]).to_pandas()
     return (pdf[pdf.source == "cands"].doc_id.tolist(),
             pdf[pdf.source == "index"].doc_id.tolist())
+
+
+def split_cands_dataset(cands: ray.data.Dataset, index_sorted_ref,
+                        seed: int, train: bool) -> ray.data.Dataset:
+    """cands ∩ index restricted to one side of the hash-bucket train/test
+    split, with BOTH predicates applied inside map_batches: membership via
+    searchsorted against the broadcast sorted-int64 index-id array (the
+    declared small side — the same side the KDTree and the negative-sampling
+    space already broadcast), split via splits.split_bucket on the id
+    strings.  Set-identical to the old driver-side
+    ``sorted(set(cands) & set(index))`` + train_test_ids path, but no
+    O(corpus) cands-id collect ever reaches the driver."""
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        if not ids:
+            return b
+        idx = ray.get(index_sorted_ref)
+        v = np.asarray([int(i) for i in ids], dtype=np.int64)
+        pos = np.searchsorted(idx, v)
+        pos[pos == len(idx)] = 0
+        in_idx = idx[pos] == v
+        tr = splits.split_bucket(ids, seed)
+        return b.filter(pa.array(in_idx & (tr if train else ~tr)))
+
+    return cands.map_batches(f, batch_format="pyarrow")
 
 
 def prep_train(props: ray.data.Dataset, seed: int = 1,
@@ -81,11 +107,20 @@ def prep_train(props: ray.data.Dataset, seed: int = 1,
     independent of any upstream parallelism (SURVEY.md §7.4.6).  ``grid``
     enables the deterministic grid-search CV (classifier.py:150-163).
     """
-    cand_ids, index_ids = side_ids(props)
-    inter = sorted(set(cand_ids) & set(index_ids), key=int)
-    train_ids, test_ids = splits.train_test_ids(inter, seed)
-    pair_ds = splits.negative_sample_pairs(
-        sorted(train_ids, key=int), index_ids, neg_num, seed)
+    # index ids: the declared broadcast side (KDTree / negative-sampling
+    # space); cands ids NEVER collect to the driver — the split predicate
+    # runs dataset-side and only the train subset materializes
+    index_ids = side_dataset(props, "index", ["doc_id"]) \
+        .to_pandas().doc_id.tolist()
+    split_ref = ray.put(np.sort(np.asarray(index_ids, dtype=np.int64)))
+    cand_id_ds = side_dataset(props, "cands", ["doc_id"])
+    train_ids = sorted(
+        split_cands_dataset(cand_id_ds, split_ref, seed, train=True)
+        .to_pandas().doc_id.tolist(), key=int)
+    n_test = split_cands_dataset(cand_id_ds, split_ref, seed,
+                                 train=False).count()
+    pair_ds = splits.negative_sample_pairs(train_ids, index_ids, neg_num,
+                                           seed)
     feat_ds = pairs.pair_features_join(pair_ds, props)
     train_df = feat_ds.to_pandas().sort_values(
         ["cand_id", "index_id"]).reset_index(drop=True)
@@ -104,8 +139,9 @@ def prep_train(props: ray.data.Dataset, seed: int = 1,
         tr[tr.source == "cands"], tr[tr.source == "index"], PROPERTY_NAMES)
     return {
         "model": model, "importances": importances, "ratios": ratios,
-        "train_ids": train_ids, "test_ids": test_ids, "train_df": train_df,
-        "cand_ids": cand_ids, "index_ids": index_ids,
+        "train_ids": train_ids, "train_df": train_df,
+        "index_ids": index_ids, "n_test": n_test,
+        "seed": seed, "split_ref": split_ref,
     }
 
 
@@ -155,8 +191,10 @@ def run_flagship(sf_dir: str, n_cands: int | None = None, seed: int = 1,
         yb = tdf["label"].to_numpy(dtype=np.int8)
         matcher = matching.MODEL_REGISTRY[model_name](random_state=seed).fit(Xb, yb)
 
-    # test split (blocking evaluation runs on held-out cands, all index)
-    test_cands = broadcast_semi_join(cands_all, "doc_id", prep["test_ids"])
+    # test split (blocking evaluation runs on held-out cands, all index) —
+    # dataset-side split predicate, no test-id list on the driver
+    test_cands = split_cands_dataset(cands_all, prep["split_ref"],
+                                     prep["seed"], train=False)
     nn, exec_s = blk.bkafi_nn_dataset(
         test_cands, index_feat_df, features, bkafi_dim, concurrency=concurrency)
     nn = nn.materialize()
@@ -167,14 +205,16 @@ def run_flagship(sf_dir: str, n_cands: int | None = None, seed: int = 1,
         feat_ds, matcher, RATIO_FEATURE_NAMES, concurrency=concurrency)
     scored = scored.materialize()
 
-    n_inter = len(set(prep["test_ids"]) & set(prep["index_ids"]))
+    # every test cand is in the index by construction (test ⊆ cands ∩ index),
+    # so the recall denominator equals the distributed test count
+    n_inter = prep["n_test"]
     recall = metrics.blocking_recall(nn, n_inter, ks=[1, 5, 10, 20])
     prf = metrics.precision_recall_f1(scored)
     return {
         "props": props, "prep": prep, "nn": nn, "scored": scored,
         "blocking_recall": recall, "matching": prf,
         "blocking_exec_s": exec_s,
-        "n_test_cands": len(prep["test_ids"]),
+        "n_test_cands": prep["n_test"],
         "n_index": len(prep["index_ids"]),
     }
 
@@ -376,8 +416,7 @@ def train_test_features(sf_dir: str, seed: int = 1, bkafi_dim: int = 6,
     index_feat_df = side_frame(props, "index", ["doc_id", *features])
     cands_all = side_dataset(props, "cands", ["doc_id", *PROPERTY_NAMES])
 
-    def feats_for(ids):
-        cands = broadcast_semi_join(cands_all, "doc_id", ids)
+    def feats_for(cands):
         nn, _ = blk.bkafi_nn_dataset(cands, index_feat_df, features,
                                      bkafi_dim, concurrency=concurrency)
         fd = pairs.pair_features_join(
@@ -386,7 +425,10 @@ def train_test_features(sf_dir: str, seed: int = 1, bkafi_dim: int = 6,
         return fd.to_pandas().sort_values(
             ["cand_id", "index_id"]).reset_index(drop=True)
 
-    return feats_for(prep["train_ids"]), feats_for(prep["test_ids"]), prep
+    train_cands = broadcast_semi_join(cands_all, "doc_id", prep["train_ids"])
+    test_cands = split_cands_dataset(cands_all, prep["split_ref"],
+                                     prep["seed"], train=False)
+    return feats_for(train_cands), feats_for(test_cands), prep
 
 
 def seed_averaged_eval(sf_dir: str, seeds=(1, 2, 3), n_cands: int | None = None,

@@ -256,10 +256,11 @@ def geo_blocking_recall_grid(sf_dir: str):
     from engine.joins import broadcast_semi_join
     from engine.pipeline import side_dataset, side_frame
     props, prep = _prep(sf_dir)
-    cands = broadcast_semi_join(
+    from engine.pipeline import split_cands_dataset
+    cands = split_cands_dataset(
         side_dataset(props, "cands", ["doc_id", *PROPERTY_NAMES]),
-        "doc_id", prep["test_ids"]).materialize()
-    n_inter = len(set(prep["test_ids"]) & set(prep["index_ids"]))
+        prep["split_ref"], prep["seed"], train=False).materialize()
+    n_inter = prep["n_test"]  # test cands ⊆ index by construction
     frames = []
     # the reference's FULL sweep: bkafi_dim 1..24 x cand_pairs_per_item 1..20
     # (pipelines.py:381-394 over config.py:60-61's lists); each dim is one
@@ -411,7 +412,7 @@ def geo_threshold_sweep(sf_dir: str):
     match_d = nn.map_batches(
         lambda b: b.filter(pc.equal(b.column("cand_id"), b.column("index_id"))),
         batch_format="pyarrow").select_columns(["dist"]).to_pandas()["dist"].to_numpy()
-    thr = metrics.percentile_threshold_table(match_d, num_points=20)
+    thr = metrics.percentile_threshold_table(match_d, num_points=200)
     cand_ids = set(cands.select_columns(["doc_id"]).to_pandas().doc_id)
     index_ids = set(index_df.doc_id)
     n_inter = len(cand_ids & index_ids)
@@ -434,7 +435,7 @@ def geo_threshold_sweep(sf_dir: str):
                                  Sum("pos", alias_name="pos")) \
         .to_pandas().sort_values("ti")
     rows = []
-    for (_, a), pct in zip(agg.iterrows(), np.linspace(0, 100, 20)):
+    for (_, a), pct in zip(agg.iterrows(), np.linspace(0, 100, 200)):
         rows.append({
             "percentile": float(pct),
             "threshold": float(thr[int(a.ti)]),
@@ -529,6 +530,33 @@ def _prep(sf_dir: str):
         props = _props(sf_dir)
         _PREP_CACHE[sf_dir] = (props, prep_train(props, seed=1))
     return _PREP_CACHE[sf_dir]
+
+
+_PAIR_CACHE: dict[tuple, ray.data.Dataset] = {}
+
+
+def _emb_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Embedding near-dup pair table memoized (materialized) per sf —
+    dedup_embedding, dedup_semantic (and any future cluster consumer) share
+    ONE LSH band → bucket → verify chain instead of recomputing it; the
+    materialized table is tiny (one row per verified near-dup pair)."""
+    key = (sf_dir, "emb")
+    if key not in _PAIR_CACHE:
+        _PAIR_CACHE[key] = dedup.embedding_near_dup(
+            dedup.planted_neardup_embeddings(_emb(sf_dir)),
+            threshold=0.98).materialize()
+    return _PAIR_CACHE[key]
+
+
+def _ngram_pairs(sf_dir: str) -> ray.data.Dataset:
+    """ngram-Jaccard pair table memoized per sf — shared by dedup_ngram and
+    dedup_clusters."""
+    key = (sf_dir, "ngram")
+    if key not in _PAIR_CACHE:
+        _PAIR_CACHE[key] = dedup.ngram_jaccard_pairs(
+            dedup.planted_dup_corpus(_docs(sf_dir)),
+            threshold=0.6).materialize()
+    return _PAIR_CACHE[key]
 
 
 _TTF_CACHE: dict[str, tuple] = {}
@@ -632,10 +660,11 @@ def geo_blocking_recall_std(sf_dir: str):
     from engine.joins import broadcast_semi_join
     from engine.pipeline import side_dataset, side_frame
     props, prep = _prep(sf_dir)
-    cands = broadcast_semi_join(
+    from engine.pipeline import split_cands_dataset
+    cands = split_cands_dataset(
         side_dataset(props, "cands", ["doc_id", *PROPERTY_NAMES]),
-        "doc_id", prep["test_ids"]).materialize()
-    n_inter = len(set(prep["test_ids"]) & set(prep["index_ids"]))
+        prep["split_ref"], prep["seed"], train=False).materialize()
+    n_inter = prep["n_test"]  # test cands ⊆ index by construction
     frames = []
     for crit in ("feature_importance", "std"):
         feats = blk.select_blocking_features(
@@ -859,9 +888,7 @@ def dedup_exact(sf_dir: str):
 
 
 def dedup_ngram(sf_dir: str):
-    return dedup._dedup_keyed_rows(
-        dedup.ngram_jaccard_pairs(dedup.planted_dup_corpus(_docs(sf_dir)),
-                                  threshold=0.6), ["a_id", "b_id"])
+    return dedup._dedup_keyed_rows(_ngram_pairs(sf_dir), ["a_id", "b_id"])
 
 
 def dedup_substring(sf_dir: str):
@@ -877,9 +904,7 @@ def dedup_clusters(sf_dir: str):
     propagation) over the verified ngram-Jaccard pairs; one row per doc in a
     dup pair, cluster_id = min doc id of its component — the canonical
     representative a dedup pass keeps."""
-    pairs = dedup.ngram_jaccard_pairs(
-        dedup.planted_dup_corpus(_docs(sf_dir)), threshold=0.6)
-    return dedup.dup_clusters(pairs)
+    return dedup.dup_clusters(_ngram_pairs(sf_dir))
 
 
 def dedup_minhash(sf_dir: str):
@@ -904,10 +929,7 @@ def dedup_simhash_pairs(sf_dir: str):
 def dedup_embedding(sf_dir: str):
     """Embedding near-dup over a corpus with planted jittered copies
     (cosine ~0.999); natural pairs are near-orthogonal.  Rows-only."""
-    emb = _emb(sf_dir)
-    return dedup._dedup_keyed_rows(
-        dedup.embedding_near_dup(dedup.planted_neardup_embeddings(emb),
-                                 threshold=0.98), ["a_id", "b_id"])
+    return dedup._dedup_keyed_rows(_emb_pairs(sf_dir), ["a_id", "b_id"])
 
 
 def dedup_semantic(sf_dir: str):
@@ -915,9 +937,9 @@ def dedup_semantic(sf_dir: str):
     connected components -> keep each component's min-id representative;
     returns the kept vec_ids of the planted corpus (bucketed anti-join —
     the exclusion side never collects to the driver)."""
-    emb = _emb(sf_dir)
     return dedup.semantic_dedup_ids(
-        dedup.planted_neardup_embeddings(emb), threshold=0.98)
+        dedup.planted_neardup_embeddings(_emb(sf_dir)),
+        pairs=_emb_pairs(sf_dir))
 
 
 def corpus_stats(sf_dir: str):

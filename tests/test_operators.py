@@ -194,10 +194,15 @@ def test_dup_clusters_chain_transitivity(ray_session):
         "a_id": pa.array([1, 2, 3, 10, 20, 21], type=pa.int64()),
         "b_id": pa.array([2, 3, 4, 11, 21, 22], type=pa.int64()),
     }))
-    out = dup_clusters(pairs).to_pandas().sort_values("doc_id")
-    got = dict(zip(out.doc_id, out.cluster_id))
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
-                   20: 20, 21: 20, 22: 20}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+            20: 20, 21: 20, 22: 20}
+    # small-graph union-find path (the default) and the distributed BSP
+    # min-label propagation (small_graph_rows=0) must agree exactly
+    for sgr in (2_000_000, 0):
+        out = dup_clusters(pairs, small_graph_rows=sgr) \
+            .to_pandas().sort_values("doc_id")
+        got = dict(zip(out.doc_id, out.cluster_id))
+        assert got == want, (sgr, got)
 
 
 def test_png_render_valid_and_deterministic(ray_session):

@@ -159,6 +159,31 @@ def test_dirty_split_semantics(ray_session):
     assert df[df.k == 5].recall_matchable.iloc[0] >= 0.95
 
 
+def test_prep_split_is_dataset_side_and_bounded(ray_session):
+    """prep_train's driver-side collects are bounded by the train split:
+    the prep dict carries NO test/cands id lists, and the dataset-side
+    split predicate (split_cands_dataset) reproduces the old driver-side
+    set-intersection + hash-bucket membership exactly."""
+    from engine import splits
+    from engine.pipeline import (prep_train, property_table, side_ids,
+                                 split_cands_dataset, side_dataset)
+    props = property_table(SF)
+    prep = prep_train(props, seed=1)
+    # no O(corpus) id list rides in prep — only the train subset + the
+    # declared index broadcast
+    assert "test_ids" not in prep and "cand_ids" not in prep
+    # reference semantics check vs the (test-only) driver-side computation
+    cand_ids, index_ids = side_ids(props)
+    inter = sorted(set(cand_ids) & set(index_ids), key=int)
+    want_train, want_test = splits.train_test_ids(inter, seed=1)
+    assert prep["train_ids"] == sorted(want_train, key=int)
+    assert prep["n_test"] == len(want_test)
+    got_test = split_cands_dataset(
+        side_dataset(props, "cands", ["doc_id"]), prep["split_ref"],
+        prep["seed"], train=False).to_pandas().doc_id.tolist()
+    assert sorted(got_test, key=int) == sorted(want_test, key=int)
+
+
 def test_pair_features_plans_agree(ray_session):
     """The broadcast fast case and the bucketed-join 10^12 path of the pair
     feature stage produce identical rows."""
