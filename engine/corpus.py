@@ -81,13 +81,33 @@ def ensure_corpus(sf_dir: str, n_cands: int | None = None) -> str:
     return out_dir
 
 
+def size_aware_blocks(path: str, requested: int, min_blocks: int = 8,
+                      rows_per_block: int = 256) -> int:
+    """Block count proportional to ROW count (parquet footers only — no data
+    read), capped at ``requested``: a tiny input doesn't pay requested-many
+    task launches (measured +25-35% on sub-2.5 s queries), a large one still
+    splits wide enough to fill the CPU budget.  Rows, not bytes: these
+    tables carry text/geometry whose per-row downstream work dwarfs their
+    compressed size."""
+    if os.path.isdir(path):
+        files = [e.path for e in os.scandir(path)
+                 if e.is_file() and e.name.endswith(".parquet")]
+    else:
+        files = [path]
+    rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    need = max(1, (rows + rows_per_block - 1) // rows_per_block)
+    return int(max(min(min_blocks, requested), min(requested, need)))
+
+
 def corpus_dataset(sf_dir: str, n_cands: int | None = None,
                    num_blocks: int = 64) -> ray.data.Dataset:
     """Read the corpus with enough blocks that downstream map_batches stages
     parallelize across the whole CPU budget (a handful of parquet files would
-    otherwise mean a handful of tasks)."""
-    return ray.data.read_parquet(ensure_corpus(sf_dir, n_cands),
-                                 override_num_blocks=num_blocks)
+    otherwise mean a handful of tasks); block count is size-aware so small
+    corpora don't pay 64 task launches."""
+    path = ensure_corpus(sf_dir, n_cands)
+    return ray.data.read_parquet(
+        path, override_num_blocks=size_aware_blocks(path, num_blocks))
 
 
 def corpus_table(sf_dir: str, n_cands: int | None = None) -> pa.Table:

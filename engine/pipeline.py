@@ -341,7 +341,7 @@ def matching_inference_pipeline(docs: ray.data.Dataset, state: dict,
                 "label": pa.array([], type=pa.int8()),
                 "pred": pa.array([], type=pa.int8()),
             })
-        ids = np.asarray(out.column("doc_id").to_pylist(), dtype=object)
+        ids_num = pc.cast(out.column("doc_id"), pa.int64()).to_numpy()
         P = np.column_stack([out.column(c).to_numpy() for c in PROPERTY_NAMES])
         Xs = ((P[:, s["feat_idx"]] - s["med"]) / s["iqr"]).astype(np.float32)
         k = s["k"]
@@ -377,12 +377,15 @@ def matching_inference_pipeline(docs: ray.data.Dataset, state: dict,
         flat = top.ravel()
         feats = ratio_features(P[cand_rep], s["idx_props"][flat])
         pred = s["matcher"].predict(feats)
-        cand_ids = np.repeat(ids, kk)
-        index_ids = s["idx_ids"][flat]
-        label = (cand_ids == index_ids).astype(np.int8)
+        # numeric ids end to end: the label compare and the string columns
+        # are vectorized int64 ops / Arrow casts — no per-pair Python
+        # string objects ride through the allocator
+        cand_num = np.repeat(ids_num, kk)
+        index_num = s["idx_num"][flat]
+        label = (cand_num == index_num).astype(np.int8)
         return pa.table({
-            "cand_id": pa.array(cand_ids.tolist(), type=pa.string()),
-            "index_id": pa.array(index_ids.tolist(), type=pa.string()),
+            "cand_id": pc.cast(pa.array(cand_num), pa.string()),
+            "index_id": pc.cast(pa.array(index_num), pa.string()),
             "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int32), n)),
             "dist": pa.array(dist.ravel().astype(np.float64), type=pa.float64()),
             "label": pa.array(label, type=pa.int8()),

@@ -313,20 +313,23 @@ def geo_blocking_metrics(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def _emb(sf_dir: str) -> ray.data.Dataset:
-    # single parquet file -> SplitBlocks(32) so vectorized embedding stages
-    # parallelize (same rationale as _docs)
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                                 columns=["vec_id", "embedding"],
-                                 override_num_blocks=32)
+    # single parquet file -> size-aware SplitBlocks so vectorized embedding
+    # stages parallelize without tiny-input task overhead (same as _docs)
+    from engine.corpus import size_aware_blocks
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    return ray.data.read_parquet(p, columns=["vec_id", "embedding"],
+                                 override_num_blocks=size_aware_blocks(p, 32))
 
 
 def _docs(sf_dir: str) -> ray.data.Dataset:
-    # the table is one parquet file -> one read block; SplitBlocks(32) gives
-    # every downstream map_batches stage real parallelism (measured 6x on
-    # the minhash chain — a single-block source serializes the whole stage)
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=["doc_id", "text"],
-                                 override_num_blocks=32)
+    # the table is one parquet file -> one read block; size-aware
+    # SplitBlocks gives every downstream map_batches stage real parallelism
+    # (measured 6x on the minhash chain — a single-block source serializes
+    # the whole stage) without over-tasking tiny sf inputs
+    from engine.corpus import size_aware_blocks
+    p = os.path.join(sf_dir, "documents.parquet")
+    return ray.data.read_parquet(p, columns=["doc_id", "text"],
+                                 override_num_blocks=size_aware_blocks(p, 32))
 
 
 def q_lineitem_agg(sf_dir: str):
