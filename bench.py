@@ -65,11 +65,13 @@ def run_bench() -> dict:
     docs = corpus_dataset(sf_dir, n_cands, num_blocks=192)
     n_trials = int(os.environ.get(
         "BENCH_TRIALS", "3" if os.environ.get("BENCH_FAST") == "1" else "2"))
+    task_cpus = float(os.environ.get("GEO_PIPE_TASK_CPUS", "0")) or None
     trials = []
     for _ in range(n_trials):
         t0 = time.time()
         n_pairs = matching_inference_pipeline(
-            docs, state, concurrency=max(2, num_cpus - 2)).count()
+            docs, state, concurrency=max(2, num_cpus - 2),
+            num_cpus_per_task=task_cpus).count()
         trials.append(time.time() - t0)
     headline = min(trials)
     timings["pipeline_sec"] = round(headline, 3)

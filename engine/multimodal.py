@@ -16,6 +16,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from engine.render import render_doc_png
+
 FEATURE_DIM = 8
 
 
@@ -78,3 +80,101 @@ def media_features(docs: ray.data.Dataset, concurrency: int = 2,
     batch_size on purpose: real binary payloads are heap-heavy per row."""
     return docs.map_batches(MediaFeatureActor, batch_format="pyarrow",
                             batch_size=batch_size, concurrency=(1, concurrency))
+
+
+# ---------------------------------------------------------------------------
+# Real-bytes media encoder: PNG decode + numpy patch embedding
+# ---------------------------------------------------------------------------
+
+def decode_png_gray(png: bytes) -> np.ndarray:
+    """stdlib decoder for the engine's own 8-bit grayscale filter-0 PNGs
+    (engine/render.py encode_png_gray): parse chunks, inflate IDAT, strip
+    the per-scanline filter byte.  Raises on any other PNG flavor — this is
+    the codec for the engine's self-produced media bytes, not a general
+    image library (none exists in this container)."""
+    import struct
+    import zlib
+    assert png[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, w = 8, None
+    idat = b""
+    while pos < len(png):
+        (length,) = struct.unpack(">I", png[pos:pos + 4])
+        tag = png[pos + 4:pos + 8]
+        payload = png[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or color != 0:
+                raise ValueError("only 8-bit grayscale supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    if (rows[:, 0] != 0).any():
+        raise ValueError("only filter type 0 supported")
+    return np.ascontiguousarray(rows[:, 1:])
+
+
+class PatchEmbedActor:
+    """Real-bytes media encoder (the ViT-class slot, reference
+    utils.py:45-67,100-163): per doc, render the geom span to REAL PNG
+    bytes, decode those bytes back (round-tripping the codec), patchify the
+    64x64 canvas into 8x8 patches and project each through a fixed
+    seeded random matrix — mean-pooled and L2-normalized, a deterministic
+    numpy stand-in for a patch-embedding vision transformer.  The
+    projection matrix is built ONCE per actor in __init__, exactly where a
+    real encoder would load weights."""
+
+    def __init__(self, seed: int = 7, patch: int = 8, dim: int = 8,
+                 regions: int = 4, size: int = 64):
+        rng = np.random.default_rng(seed)
+        self.patch, self.dim, self.size = patch, dim, size
+        self.regions = regions
+        self.W = rng.standard_normal((patch * patch, dim)) / patch
+
+    def _embed(self, img: np.ndarray) -> np.ndarray:
+        p, s, R = self.patch, self.size, self.regions
+        g = s // p                      # patch grid side
+        x = img.astype(np.float64) / 255.0
+        # (g, p, g, p) -> (g, g, p*p): per-patch pixel rows
+        patches = x.reshape(g, p, g, p).transpose(0, 2, 1, 3) \
+            .reshape(g, g, p * p)
+        E = patches @ self.W            # (g, g, dim) per-patch projections
+        # RxR region mean-pooling keeps coarse spatial layout (global mean
+        # pooling measured 0.81 planted recall@5; 4x4 regions measure 1.0)
+        r = g // R
+        pooled = E.reshape(R, r, R, r, self.dim).mean(axis=(1, 3)).ravel()
+        n = np.sqrt((pooled * pooled).sum())
+        return pooled / n if n else pooled
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        has_source = "source" in batch.column_names
+        sources = batch.column("source").to_pylist() if has_source \
+            else [""] * batch.num_rows
+        ids, srcs, feats = [], [], []
+        for d, so, spans in zip(batch.column("doc_id").to_pylist(), sources,
+                                batch.column("spans").to_pylist()):
+            png = render_doc_png(spans, self.size)
+            if png is None:
+                continue
+            img = decode_png_gray(png)
+            ids.append(d)
+            srcs.append(so)
+            feats.append(self._embed(img).tolist())
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.string()),
+            "source": pa.array(srcs, type=pa.string()),
+            "feature": pa.array(feats, type=pa.list_(pa.float64())),
+        })
+
+
+def patch_embeddings(docs: ray.data.Dataset, concurrency: int = 4,
+                     batch_size: int = 128, **actor_kw) -> ray.data.Dataset:
+    """docs (doc_id[, source], spans) -> (doc_id, source, feature) via the
+    real-bytes patch-embedding actor pool.  Small batches: each row renders
+    and decodes a canvas (heap-heavy, like any real media decode)."""
+    return docs.map_batches(PatchEmbedActor, fn_constructor_kwargs=actor_kw,
+                            batch_format="pyarrow", batch_size=batch_size,
+                            concurrency=(1, concurrency))

@@ -495,6 +495,29 @@ def geo_block_embedding(sf_dir: str):
     return embedding_nn_dataset(side("cands"), index, nn_param=5, exact=True)
 
 
+def multimodal_real(sf_dir: str):
+    """Real-bytes media blocking — T7 end to end (reference ViT path,
+    utils.py:45-67,100-163): wireframe render -> REAL PNG bytes -> stdlib
+    decode -> numpy patch-embedding encoder (seeded projection loaded once
+    per actor) -> cosine top-5 against the broadcast index embedding
+    matrix.  Rows-only: PNG rasterization + zlib round-trip + random
+    projection are not SQL-expressible; pinned by the planted-recall and
+    codec round-trip tests."""
+    import pyarrow.compute as pc
+    from engine.blocking import embedding_nn_dataset
+    from engine.multimodal import patch_embeddings
+    emb = patch_embeddings(corpus_dataset(sf_dir)).materialize()
+
+    def side(src):
+        return emb.map_batches(
+            lambda b, s=src: b.filter(pc.equal(b.column("source"),
+                                               pa.scalar(s))),
+            batch_format="pyarrow")
+
+    index = side("index").select_columns(["doc_id", "feature"]).to_pandas()
+    return embedding_nn_dataset(side("cands"), index, nn_param=5)
+
+
 def geo_contamination(sf_dir: str):
     """Contamination robustness (contamination_experiments.py:67-85):
     contaminate 20% of test pair features, rescore, report flips.  Rows-only."""
@@ -1094,6 +1117,7 @@ QUERIES = {
     "sim_knn_lsh": sim_knn_lsh,
     "sim_knn_ivf": sim_knn_ivf,
     "multimodal_features": multimodal_features,
+    "multimodal_real": multimodal_real,
 }
 
 

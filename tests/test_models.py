@@ -184,3 +184,32 @@ def test_contamination_retrain_degrades_or_holds(ray_session):
     # beyond noise (the reference reports degradation)
     assert worst <= clean + 0.01
     assert (df.f1_delta_vs_clean.iloc[0] == 0.0)
+
+
+def test_png_codec_round_trip(ray_session):
+    """decode_png_gray inverts encode_png_gray exactly on arbitrary
+    canvases — the real-bytes media path round-trips its own codec."""
+    from engine.multimodal import decode_png_gray
+    from engine.render import encode_png_gray
+    rng = np.random.default_rng(3)
+    for shape in ((64, 64), (16, 32), (1, 7)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert (decode_png_gray(encode_png_gray(img)) == img).all()
+
+
+def test_multimodal_real_planted_recall(ray_session):
+    """Real-bytes patch-embedding blocking: a matched index doc is a
+    lightly jittered copy of its cand, so its wireframe render — and hence
+    its patch embedding — must rank it into the cosine top-5 for nearly
+    every cand; embeddings are deterministic across runs."""
+    from engine.queries import multimodal_real
+    nn = multimodal_real(SF).to_pandas()
+    assert set(nn.columns) >= {"cand_id", "index_id", "rank"}
+    hits = nn[nn.cand_id == nn.index_id].cand_id.nunique()
+    n_cands = nn.cand_id.nunique()
+    # 85% of cands have a matched (jittered) index entity; require recall
+    # >= 0.9 over those
+    assert hits >= 0.9 * 0.85 * n_cands, (hits, n_cands)
+    again = multimodal_real(SF).to_pandas()
+    assert nn.sort_values(["cand_id", "rank"]).reset_index(drop=True).equals(
+        again.sort_values(["cand_id", "rank"]).reset_index(drop=True))
