@@ -118,6 +118,59 @@ def select_blocking_features(feature_importances: list[tuple[str, float]],
     return [f.split("_ratio")[0] for f, _ in feature_importances[:bkafi_dim]]
 
 
+def topk_l2_f32(X32: np.ndarray, idx32: np.ndarray, idx_sq: np.ndarray,
+                idx_num: np.ndarray, k: int,
+                tile: int = 64, chunk: int = 4096):
+    """Threshold-pruned EXACT k-NN over L2-resident f32 tiles, tie-resolved
+    by (d2, numeric index id).
+
+    Per cand tile, only the FIRST index chunk pays a selection (argpartition
+    for the kth value, then a tie-complete <= sweep); every later chunk does
+    one SIMD compare of its distance block against the running kth-best and
+    merges only the (rare) survivors with a tie-exact (d2, idx_num) lexsort.
+    The old argpartition-per-chunk merge scanned every chunk with an
+    introselect — measured 2x slower; the scan was selection-bound, not
+    GEMM-bound.  Returns (top index positions, sqrt distances) shaped
+    (n, min(k, n_idx)), rows ordered by (d2, idx_num)."""
+    n_idx = len(idx32)
+    kk = min(k, n_idx)
+    tops, dists = [], []
+    for t0 in range(0, len(X32), tile):
+        Xt = X32[t0:t0 + tile]
+        nt = len(Xt)
+        x_sq = (Xt * Xt).sum(1)[:, None]
+        e0 = min(chunk, n_idx)
+        d2 = x_sq - 2.0 * (Xt @ idx32[:e0].T) + idx_sq[None, :e0]
+        best_d = np.empty((nt, kk), dtype=d2.dtype)
+        best_i = np.empty((nt, kk), dtype=np.int64)
+        if kk < e0:
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            thr = np.take_along_axis(d2, part, axis=1).max(axis=1)
+        else:
+            thr = d2.max(axis=1)
+        for r in range(nt):
+            cols = np.nonzero(d2[r] <= thr[r])[0]
+            o = np.lexsort((idx_num[cols], d2[r, cols]))[:kk]
+            best_d[r] = d2[r, cols[o]]
+            best_i[r] = cols[o]
+            thr[r] = best_d[r, -1]
+        for c in range(chunk, n_idx, chunk):
+            e = min(c + chunk, n_idx)
+            d2 = x_sq - 2.0 * (Xt @ idx32[c:e].T) + idx_sq[None, c:e]
+            hit_r, hit_c = np.nonzero(d2 <= thr[:, None])
+            for r in np.unique(hit_r):
+                cols = hit_c[hit_r == r]
+                dall = np.concatenate([best_d[r], d2[r, cols]])
+                iall = np.concatenate([best_i[r], cols + c])
+                o = np.lexsort((idx_num[iall], dall))[:kk]
+                best_d[r] = dall[o]
+                best_i[r] = iall[o]
+                thr[r] = best_d[r, -1]
+        tops.append(best_i)
+        dists.append(np.sqrt(np.maximum(best_d, 0.0)))
+    return np.concatenate(tops, 0), np.concatenate(dists, 0)
+
+
 def bkafi_nn_dataset(cand_props: ray.data.Dataset, index_df: pd.DataFrame,
                      features: list[str], bkafi_dim: int,
                      sdr_factors: np.ndarray | None = None,
@@ -203,34 +256,10 @@ def bkafi_nn_dataset(cand_props: ray.data.Dataset, index_df: pd.DataFrame,
             return top, np.sqrt(np.take_along_axis(best_d, order, axis=1))
 
         def _topk_tile(self, Xt: np.ndarray):
-            """top nn_param for one cand tile: chunked scan, running merge."""
-            n = len(Xt)
-            x_sq = (Xt * Xt).sum(1)[:, None]
-            n_idx = len(self.idx32)
-            best_d = None
-            best_i = None
-            rows = np.arange(n)[:, None]
-            for s in range(0, n_idx, CHUNK):
-                e = min(s + CHUNK, n_idx)
-                d2 = x_sq - 2.0 * (Xt @ self.idx32[s:e].T) + self.idx_sq[None, s:e]
-                kk = min(nn_param, e - s)
-                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-                dloc = np.take_along_axis(d2, part, axis=1)
-                iloc = part.astype(np.int64) + s
-                if best_d is None:
-                    best_d, best_i = dloc, iloc
-                else:
-                    dall = np.concatenate([best_d, dloc], axis=1)
-                    iall = np.concatenate([best_i, iloc], axis=1)
-                    kk2 = min(nn_param, dall.shape[1])
-                    part2 = np.argpartition(dall, kk2 - 1, axis=1)[:, :kk2]
-                    best_d = np.take_along_axis(dall, part2, axis=1)
-                    best_i = np.take_along_axis(iall, part2, axis=1)
-            order = np.lexsort((self.idx_num[best_i], best_d), axis=1)
-            top = np.take_along_axis(best_i, order, axis=1)
-            dtop = np.sqrt(np.maximum(
-                np.take_along_axis(best_d, order, axis=1), 0.0))
-            return top, dtop
+            """top nn_param for one cand tile: threshold-pruned exact scan
+            (topk_l2_f32), tie-exact by (d2, idx_num)."""
+            return topk_l2_f32(Xt, self.idx32, self.idx_sq, self.idx_num,
+                               nn_param, tile=TILE, chunk=CHUNK)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch.column("doc_id").to_pylist()

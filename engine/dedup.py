@@ -44,27 +44,32 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     near-singleton Ray group per distinct document (the shape this repo
     measured at 75 s / 400k groups and replaced everywhere else).
     """
-    from engine.joins import fast_hash64
     NUM_BUCKETS = 64
 
     def partial(batch: pa.Table) -> pa.Table:
-        hs = np.asarray([hashlib.md5(t.encode()).hexdigest()
-                         for t in batch.column("text").to_pylist()],
-                        dtype=object)
-        df = pd.DataFrame({"__h": hs,
+        # full 128-bit md5 as two int64 columns: no hex-string objects, no
+        # second hashing pass for the bucket (bucket = h1 % B directly)
+        texts = batch.column("text").to_pylist()
+        hs = np.empty((len(texts), 2), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            hs[i] = np.frombuffer(hashlib.md5(t.encode()).digest(),
+                                  dtype=np.uint64)
+        h = hs.view(np.int64)
+        df = pd.DataFrame({"__h1": h[:, 0], "__h2": h[:, 1],
                            "doc_id": batch.column("doc_id").to_numpy()})
-        r = df.groupby("__h", as_index=False).agg(
+        r = df.groupby(["__h1", "__h2"], as_index=False).agg(
             doc_id=("doc_id", "min"), n=("doc_id", "size"))
         return pa.table({
-            "__h": pa.array(r["__h"]),
+            "__h1": pa.array(r["__h1"].to_numpy()),
+            "__h2": pa.array(r["__h2"].to_numpy()),
             "doc_id": pa.array(r["doc_id"].to_numpy(), type=pa.int64()),
             "n": pa.array(r["n"].to_numpy().astype(np.int64)),
-            "__b": pa.array((fast_hash64(r["__h"].to_numpy())
+            "__b": pa.array((r["__h1"].to_numpy().view(np.uint64)
                              % NUM_BUCKETS).astype(np.int64)),
         })
 
     def bucket_agg(g: pd.DataFrame) -> pd.DataFrame:
-        r = g.groupby("__h", as_index=False).agg(
+        r = g.groupby(["__h1", "__h2"], as_index=False).agg(
             doc_id=("doc_id", "min"), dup_count=("n", "sum"))
         return r[["doc_id", "dup_count"]]
 
@@ -251,7 +256,16 @@ def _dedup_keyed_rows(ds: ray.data.Dataset,
             "__db", pa.array((h % NUM_BUCKETS).astype(np.int64)))
 
     def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(keys).drop(columns=["__db"])
+        out = g.drop_duplicates(keys).drop(columns=["__db"])
+        if len(out) != len(g):
+            # observe recurrence instead of silently absorbing it (see the
+            # anomaly note above): worker-side log with exact counts
+            import logging
+            logging.getLogger("engine.dedup").warning(
+                "_dedup_keyed_rows dropped %d duplicate key rows "
+                "(bucket of %d) — exactly-once anomaly recurred",
+                len(g) - len(out), len(g))
+        return out
 
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("__db").map_groups(dedup_bucket, batch_format="pandas")

@@ -344,34 +344,9 @@ def matching_inference_pipeline(docs: ray.data.Dataset, state: dict,
         ids_num = pc.cast(out.column("doc_id"), pa.int64()).to_numpy()
         P = np.column_stack([out.column(c).to_numpy() for c in PROPERTY_NAMES])
         Xs = ((P[:, s["feat_idx"]] - s["med"]) / s["iqr"]).astype(np.float32)
-        k = s["k"]
-        n_idx = len(s["idx_scaled"])
-        tops, dists = [], []
-        for t0 in range(0, len(Xs), TILE):
-            Xt = Xs[t0:t0 + TILE]
-            x_sq = (Xt * Xt).sum(1)[:, None]
-            best_d = best_i = None
-            for c in range(0, n_idx, CHUNK):
-                e = min(c + CHUNK, n_idx)
-                d2 = x_sq - 2.0 * (Xt @ s["idx_scaled"][c:e].T) + idx_sq[None, c:e]
-                kk = min(k, e - c)
-                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-                dloc = np.take_along_axis(d2, part, axis=1)
-                iloc = part.astype(np.int64) + c
-                if best_d is None:
-                    best_d, best_i = dloc, iloc
-                else:
-                    dall = np.concatenate([best_d, dloc], 1)
-                    iall = np.concatenate([best_i, iloc], 1)
-                    p2 = np.argpartition(dall, k - 1, axis=1)[:, :k]
-                    best_d = np.take_along_axis(dall, p2, 1)
-                    best_i = np.take_along_axis(iall, p2, 1)
-            order = np.lexsort((s["idx_num"][best_i], best_d), axis=1)
-            tops.append(np.take_along_axis(best_i, order, 1))
-            dists.append(np.sqrt(np.maximum(
-                np.take_along_axis(best_d, order, 1), 0.0)))
-        top = np.concatenate(tops, 0)
-        dist = np.concatenate(dists, 0)
+        top, dist = blk.topk_l2_f32(Xs, s["idx_scaled"], idx_sq,
+                                    s["idx_num"], s["k"],
+                                    tile=TILE, chunk=CHUNK)
         n, kk = top.shape
         cand_rep = np.repeat(np.arange(n), kk)
         flat = top.ravel()
