@@ -305,6 +305,45 @@ FROM ks CROSS JOIN tru t LEFT JOIN hits h ON h.best <= ks.k
 GROUP BY ks.k
 """
 
+# Blocking-recall grid over the same exact-f64 flat-subset blocker: one
+# ranked cross-join per bkafi dim (distance = left-associated sum of the
+# first d scaled squared terms, exactly the engine's declared-order IEEE
+# chain), recall at k = 1..20 — the full evaluation sweep machinery
+# (pipelines.py:381-394) SQL-checked end to end.
+def _recall_grid_sql() -> str:
+    parts = []
+    for d in range(1, 7):
+        terms = " + ".join(
+            f"(cs.g{i} - xs.g{i}) * (cs.g{i} - xs.g{i})"
+            for i in range(1, d + 1))
+        parts.append(f"""h{d} AS (
+  SELECT {d} AS bkafi_dim, cand_id, min(rnk) AS best FROM (
+    SELECT cs.id AS cand_id, xs.id AS index_id,
+      row_number() OVER (PARTITION BY cs.id
+                         ORDER BY {terms}, xs.knum) AS rnk
+    FROM cs CROSS JOIN xs)
+  WHERE cand_id = index_id AND rnk <= 21 GROUP BY cand_id
+)""")
+        union = "\n  UNION ALL ".join(
+            f"SELECT * FROM h{i}" for i in range(1, 7))
+    return _BKAFI_CTES + ", " + ",\n".join(parts) + f"""
+, hits AS (
+  {union}
+), tru AS (
+  SELECT count(*) AS n_inter FROM cands c JOIN idx i ON c.id = i.id
+), ks AS (SELECT unnest(generate_series(1, 20)) AS k),
+dims AS (SELECT unnest(generate_series(1, 6)) AS bkafi_dim)
+SELECT CAST(d.bkafi_dim AS INTEGER) AS bkafi_dim, CAST(ks.k AS INTEGER) AS k,
+       CAST(count(h.cand_id) AS DOUBLE) / MAX(t.n_inter) AS blocking_recall
+FROM dims d CROSS JOIN ks CROSS JOIN tru t
+LEFT JOIN hits h ON h.bkafi_dim = d.bkafi_dim AND h.best <= ks.k
+GROUP BY d.bkafi_dim, ks.k
+"""
+
+
+GEO_RECALL_GRID_EXACT = _recall_grid_sql()
+
+
 # percentile threshold sweep over the same exact-f64 flat-subset nn table
 # (bkafi_with_threshold.py:131-141, 232-269): thresholds replicate
 # np.percentile's virtual-index + lerp arithmetic over the matched-pair

@@ -276,6 +276,39 @@ def geo_blocking_recall_grid(sf_dir: str):
     return pd.concat(frames, ignore_index=True)
 
 
+def geo_recall_grid_exact(sf_dir: str):
+    """Blocking-recall GRID over the exact-f64 flat-subset blocker: bkafi
+    dims 1..6 (prefixes of the fixed feature order, standing in for the
+    importance ranking) x k 1..20 — the reference's full evaluation sweep
+    machinery (pipelines.py:381-394), with every rank table and recall
+    division DuckDB-oracle-checked bit-for-bit.  The trained-prep grid over
+    all 25 properties stays reported by geo_blocking_recall_grid."""
+    import pandas as pd
+    from engine import blocking as blk, metrics
+    from ray.data.aggregate import Sum
+    props = _props(sf_dir)
+    cands = _flat_side(props, "cands", ["doc_id", *_FIXED_BLOCK_FEATURES])
+    index_df = _flat_side(
+        props, "index", ["doc_id", *_FIXED_BLOCK_FEATURES]).to_pandas()
+    idx_ids = ray.put(index_df["doc_id"].to_numpy())
+
+    def inter(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b.column("doc_id").to_pylist(), dtype=object)
+        hit = np.isin(ids, ray.get(idx_ids))
+        return pa.table({"n": pa.array([int(hit.sum())], type=pa.int64())})
+
+    n_inter = cands.map_batches(inter, batch_format="pyarrow") \
+        .aggregate(Sum("n"))["sum(n)"]
+    frames = []
+    for dim in range(1, 7):
+        nn, _ = blk.bkafi_nn_dataset(cands, index_df,
+                                     _FIXED_BLOCK_FEATURES[:dim],
+                                     bkafi_dim=dim, exact=True)
+        frames.append(metrics.blocking_recall(
+            nn, n_inter, ks=list(range(1, 21)), digits=None))
+    return pd.concat(frames, ignore_index=True)
+
+
 def geo_blocking_metrics(sf_dir: str):
     """Blocking recall / PC@K table (pipelines.py:369-394) over the exact-f64
     flat-subset bkafi blocker — the same rank-21 nn table geo_block_bkafi
@@ -1066,6 +1099,7 @@ QUERIES = {
     "geo_block_bkafi": geo_block_bkafi,
     "geo_match": geo_match,
     "geo_blocking_metrics": geo_blocking_metrics,
+    "geo_recall_grid_exact": geo_recall_grid_exact,
     "geo_blocking_recall_grid": geo_blocking_recall_grid,
     "q_lineitem_agg": q_lineitem_agg,
     "q_orders_by_nation": q_orders_by_nation,
@@ -1175,6 +1209,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": o.MULTIMODAL_FEATURES,
         "geo_block_embedding": o.GEO_BLOCK_EMBEDDING,
         "geo_blocking_metrics": o.GEO_BLOCKING_METRICS,
+        "geo_recall_grid_exact": o.GEO_RECALL_GRID_EXACT,
         "dedup_minhash": o.DEDUP_MINHASH,
         "dedup_clusters": o.DEDUP_CLUSTERS,
     }
