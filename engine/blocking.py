@@ -134,6 +134,7 @@ def topk_l2_f32(X32: np.ndarray, idx32: np.ndarray, idx_sq: np.ndarray,
     (n, min(k, n_idx)), rows ordered by (d2, idx_num)."""
     n_idx = len(idx32)
     kk = min(k, n_idx)
+    chunk = max(chunk, kk)  # the seed chunk must hold a full top-k
     tops, dists = [], []
     for t0 in range(0, len(X32), tile):
         Xt = X32[t0:t0 + tile]

@@ -46,3 +46,35 @@ def test_cell_blocking_salted_equals_unsalted(props_df, ray_session):
     assert (u.cand_id.to_numpy() == s.cand_id.to_numpy()).all()
     assert (u.index_id.to_numpy() == s.index_id.to_numpy()).all()
     assert (u.dist2.to_numpy() == s.dist2.to_numpy()).all()
+
+
+def test_topk_l2_f32_equals_bruteforce():
+    """The threshold-pruned running top-k equals a full lexsort brute force
+    — including tie resolution by (d2, numeric id) — across random shapes,
+    duplicate index rows (forced distance ties) and k >= n_idx."""
+    import numpy as np
+    from engine.blocking import topk_l2_f32
+    rng = np.random.default_rng(42)
+    for trial, (n, n_idx, dim, k, chunk) in enumerate(
+            [(37, 500, 6, 5, 64), (5, 3, 4, 7, 2), (64, 4096, 6, 5, 512),
+             (130, 1000, 3, 10, 100)]):
+        X = rng.standard_normal((n, dim)).astype(np.float32)
+        idx = rng.standard_normal((n_idx, dim)).astype(np.float32)
+        # plant exact duplicates so distance ties exercise the id tiebreak
+        if n_idx >= 10:
+            idx[1] = idx[0]
+            idx[7] = idx[3]
+        idx_num = rng.permutation(n_idx).astype(np.int64)  # ids != positions
+        idx_sq = (idx * idx).sum(1)
+        top, dist = topk_l2_f32(X, idx, idx_sq, idx_num, k,
+                                tile=16, chunk=chunk)
+        kk = min(k, n_idx)
+        assert top.shape == (n, kk)
+        d2 = ((X[:, None, :] - idx[None, :, :]) ** 2).sum(2)
+        x_sq = (X * X).sum(1)[:, None]
+        d2_kernel = x_sq - 2.0 * (X @ idx.T) + idx_sq[None, :]
+        for r in range(n):
+            order = np.lexsort((idx_num, d2_kernel[r]))[:kk]
+            assert (top[r] == order).all(), (trial, r)
+            want = np.sqrt(np.maximum(d2_kernel[r, order], 0.0))
+            assert (dist[r] == want).all(), (trial, r)
