@@ -1085,22 +1085,14 @@ def multimodal_features(sf_dir: str):
     return feats.map_batches(flat, batch_format="pyarrow")
 
 
+# Gate-friendly ordering: cheap INDEPENDENT queries first (relational, text,
+# similarity — no shared-cache warmup), then the geo families in dependency
+# order (property table -> spatial -> blocking -> trained prep), the
+# near-dup chains last.  A crash or timeout late in a long driver sweep
+# (one Ray-core ref-count race was observed at query 57/66) then costs the
+# fewest recorded results.
 QUERIES = {
-    "geo_properties": geo_properties,
-    "geo_properties_all": geo_properties_all,
-    "geo_properties_roofs": geo_properties_roofs,
-    "geo_centroids": geo_centroids,
-    "geo_tiles": geo_tiles,
-    "geo_tile_stats": geo_tile_stats,
-    "geo_range_join": geo_range_join,
-    "geo_pip": geo_pip,
-    "geo_knn_spatial": geo_knn_spatial,
-    "geo_pair_features": geo_pair_features,
-    "geo_block_bkafi": geo_block_bkafi,
-    "geo_match": geo_match,
-    "geo_blocking_metrics": geo_blocking_metrics,
-    "geo_recall_grid_exact": geo_recall_grid_exact,
-    "geo_blocking_recall_grid": geo_blocking_recall_grid,
+    # independent relational suite
     "q_lineitem_agg": q_lineitem_agg,
     "q_orders_by_nation": q_orders_by_nation,
     "q_top_orders": q_top_orders,
@@ -1112,18 +1104,7 @@ QUERIES = {
     "q_events_running": q_events_running,
     "q_events_sessions": q_events_sessions,
     "q_events_asof": q_events_asof,
-    "geo_block_centroid": geo_block_centroid,
-    "geo_threshold_sweep": geo_threshold_sweep,
-    "geo_block_cells": geo_block_cells,
-    "geo_block_embedding": geo_block_embedding,
-    "geo_contamination": geo_contamination,
-    "matching_models_eval": matching_models_eval,
-    "contamination_retrain": contamination_retrain,
-    "geo_render": geo_render,
-    "geo_blocking_dirty": geo_blocking_dirty,
-    "geo_blocking_recall_std": geo_blocking_recall_std,
-    "geo_match_concat": geo_match_concat,
-    "contrastive_matching": contrastive_matching,
+    # independent text / similarity suites
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -1133,15 +1114,6 @@ QUERIES = {
     "mixture_sample": mixture_sample,
     "lm_quality": lm_quality,
     "decontam": decontam,
-    "dedup_exact": dedup_exact,
-    "dedup_ngram": dedup_ngram,
-    "dedup_substring": dedup_substring,
-    "dedup_clusters": dedup_clusters,
-    "dedup_minhash": dedup_minhash,
-    "dedup_simhash": dedup_simhash,
-    "dedup_simhash_pairs": dedup_simhash_pairs,
-    "dedup_embedding": dedup_embedding,
-    "dedup_semantic": dedup_semantic,
     "corpus_stats": corpus_stats,
     "text_tfidf": text_tfidf,
     "text_repetition": text_repetition,
@@ -1150,8 +1122,47 @@ QUERIES = {
     "sim_knn_cosine": sim_knn_cosine,
     "sim_knn_lsh": sim_knn_lsh,
     "sim_knn_ivf": sim_knn_ivf,
+    "dedup_exact": dedup_exact,
+    # geo: property table (one shared _props build) + spatial
+    "geo_properties": geo_properties,
+    "geo_properties_all": geo_properties_all,
+    "geo_properties_roofs": geo_properties_roofs,
+    "geo_centroids": geo_centroids,
+    "geo_tiles": geo_tiles,
+    "geo_tile_stats": geo_tile_stats,
+    "geo_range_join": geo_range_join,
+    "geo_pip": geo_pip,
+    "geo_knn_spatial": geo_knn_spatial,
+    "geo_pair_features": geo_pair_features,
+    # geo: exact blockers + trained prep consumers
+    "geo_block_bkafi": geo_block_bkafi,
+    "geo_block_centroid": geo_block_centroid,
+    "geo_threshold_sweep": geo_threshold_sweep,
+    "geo_block_cells": geo_block_cells,
+    "geo_block_embedding": geo_block_embedding,
+    "geo_blocking_metrics": geo_blocking_metrics,
+    "geo_recall_grid_exact": geo_recall_grid_exact,
+    "geo_blocking_dirty": geo_blocking_dirty,
     "multimodal_features": multimodal_features,
     "multimodal_real": multimodal_real,
+    "geo_render": geo_render,
+    "geo_match": geo_match,
+    "geo_blocking_recall_grid": geo_blocking_recall_grid,
+    "geo_blocking_recall_std": geo_blocking_recall_std,
+    "geo_match_concat": geo_match_concat,
+    "contrastive_matching": contrastive_matching,
+    "geo_contamination": geo_contamination,
+    "contamination_retrain": contamination_retrain,
+    "matching_models_eval": matching_models_eval,
+    # near-dup chains (heaviest shuffles) last
+    "dedup_ngram": dedup_ngram,
+    "dedup_clusters": dedup_clusters,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_embedding": dedup_embedding,
+    "dedup_semantic": dedup_semantic,
+    "dedup_substring": dedup_substring,
 }
 
 
