@@ -90,11 +90,15 @@ def size_aware_blocks(path: str, requested: int, min_blocks: int = 8,
     tables carry text/geometry whose per-row downstream work dwarfs their
     compressed size."""
     if os.path.isdir(path):
-        files = [e.path for e in os.scandir(path)
-                 if e.is_file() and e.name.endswith(".parquet")]
+        files = sorted(e.path for e in os.scandir(path)
+                       if e.is_file() and e.name.endswith(".parquet"))
     else:
         files = [path]
-    rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    # probe at most 16 footers and extrapolate — a 100 TB corpus with
+    # thousands of files must not pay a footer read per file on the driver
+    probe = files[:: max(1, len(files) // 16)][:16]
+    rows = sum(pq.ParquetFile(f).metadata.num_rows for f in probe)
+    rows = rows * len(files) // len(probe)
     need = max(1, (rows + rows_per_block - 1) // rows_per_block)
     return int(max(min(min_blocks, requested), min(requested, need)))
 

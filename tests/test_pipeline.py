@@ -229,3 +229,22 @@ def test_flagship_fully_deterministic(ray_session):
     assert (a.index_id.to_numpy() == b.index_id.to_numpy()).all()
     assert (a.pred.to_numpy() == b.pred.to_numpy()).all()
     assert (a.dist.to_numpy() == b.dist.to_numpy()).all()
+
+
+def test_size_aware_blocks_bounds():
+    """Block sizing: floors at min(min_blocks, requested), caps at
+    requested, scales with row count, and probes at most a bounded number
+    of parquet footers (extrapolation for many-file corpora)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+    from engine.corpus import size_aware_blocks
+    with tempfile.TemporaryDirectory() as d:
+        t = pa.table({"x": pa.array(range(100), type=pa.int64())})
+        for i in range(40):  # 4000 rows over 40 files
+            pq.write_table(t, os.path.join(d, f"p{i:03d}.parquet"))
+        n = size_aware_blocks(d, requested=64, rows_per_block=256)
+        assert n == 16, n  # ceil(4000/256)
+        assert size_aware_blocks(d, requested=8) == 8      # cap
+        one = os.path.join(d, "p000.parquet")
+        assert size_aware_blocks(one, requested=64) == 8   # floor
