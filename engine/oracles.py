@@ -344,6 +344,43 @@ GROUP BY d.bkafi_dim, ks.k
 GEO_RECALL_GRID_EXACT = _recall_grid_sql()
 
 
+# Property-ratio mean/std table, the 'std' bkafi-criterion statistic
+# (classifier.py:224-233) in the engine's order-insensitive exact form:
+# per matched pair, ratio = f_index / f_cand (one IEEE division), quantized
+# floor(r * 2^20) -> integer moment sums (order-free) -> a fixed chain of
+# single IEEE ops for mean/std.  Bit-exact vs engine geo_ratio_std.
+def _ratio_std_sql() -> str:
+    names = ["volume", "area", "height_diff", "bounding_box_width",
+             "bounding_box_length", "convex_hull_volume"]
+    selects = []
+    for k, name in enumerate(names, start=1):
+        selects.append(f"""SELECT '{name}' AS feature, count(*) AS n,
+       SUM(CAST(floor(i.f{k} / c.f{k} * 1048576.0) AS BIGINT)) AS s1,
+       SUM(CAST(floor(i.f{k} / c.f{k} * 1048576.0) AS HUGEINT)
+           * CAST(floor(i.f{k} / c.f{k} * 1048576.0) AS HUGEINT)) AS s2
+  FROM cands c JOIN idx i ON c.id = i.id""")
+    body = "\n  UNION ALL ".join(selects)
+    return _BKAFI_CTES + f""", m AS (
+  {body}
+), st AS (
+  SELECT feature, n,
+         (CAST(s1 AS DOUBLE) / n) / 1048576.0 AS mean_ratio_q,
+         sqrt(GREATEST((CAST(s2 AS DOUBLE) / n) / (1048576.0 * 1048576.0)
+              - ((CAST(s1 AS DOUBLE) / n) / 1048576.0)
+                * ((CAST(s1 AS DOUBLE) / n) / 1048576.0), 0.0))
+           AS std_ratio_q
+  FROM m
+)
+SELECT feature, CAST(n AS BIGINT) AS n_pairs, mean_ratio_q, std_ratio_q,
+       CAST(row_number() OVER (ORDER BY std_ratio_q, feature) AS BIGINT)
+         AS rnk
+FROM st
+"""
+
+
+GEO_RATIO_STD = _ratio_std_sql()
+
+
 # percentile threshold sweep over the same exact-f64 flat-subset nn table
 # (bkafi_with_threshold.py:131-141, 232-269): thresholds replicate
 # np.percentile's virtual-index + lerp arithmetic over the matched-pair

@@ -309,6 +309,69 @@ def geo_recall_grid_exact(sf_dir: str):
     return pd.concat(frames, ignore_index=True)
 
 
+def geo_ratio_std(sf_dir: str):
+    """Property-ratio mean/std table — the 'std' bkafi-criterion statistic
+    (A1, reference classifier.py:224-233) in an ORDER-INSENSITIVE exact
+    form: each matched-pair ratio (index/cand, one IEEE division) is
+    quantized to 2^-20 (floor(r * 2^20), exact int), so the two moment
+    sums are integer-exact under any accumulation order and the
+    mean/std formula is a fixed chain of single IEEE ops — bit-replicable
+    in SQL (the raw np.std variant the prep path uses is
+    float-accumulation-order-bound and stays rows-only).  Emits one row
+    per fixed blocking feature with the std-ascending rank the criterion
+    sorts by."""
+    from ray.data.aggregate import Sum
+    QUANT = float(1 << 20)
+    feats = _FIXED_BLOCK_FEATURES
+    props = _props(sf_dir)
+    index_df = _flat_side(props, "index", ["doc_id", *feats]).to_pandas()
+    idx_ref = ray.put((
+        np.sort(index_df["doc_id"].astype(np.int64).to_numpy()),
+        index_df.sort_values("doc_id", key=lambda s: s.astype(np.int64))
+        [feats].to_numpy(dtype=np.float64)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        idx_ids, idx_mat = ray.get(idx_ref)
+        ids = pc2.cast(b.column("doc_id"), pa.int64()).to_numpy()
+        pos = np.searchsorted(idx_ids, ids)
+        pos[pos == len(idx_ids)] = 0
+        m = idx_ids[pos] == ids
+        rows = []
+        for k, f in enumerate(feats):
+            vc = b.column(f).to_numpy()[m]
+            vi = idx_mat[pos[m], k]
+            rq = np.floor((vi / vc) * QUANT).astype(np.int64)
+            rows.append((k, len(rq), int(rq.sum()),
+                         int((rq.astype(object) ** 2).sum())))
+        return pa.table({
+            "fi": pa.array([r[0] for r in rows], type=pa.int64()),
+            "n": pa.array([r[1] for r in rows], type=pa.int64()),
+            "s1": pa.array([r[2] for r in rows], type=pa.int64()),
+            "s2": pa.array([r[3] for r in rows], type=pa.int64()),
+        })
+
+    agg = _flat_side(props, "cands", ["doc_id", *feats]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("fi").aggregate(Sum("n", alias_name="n"),
+                                 Sum("s1", alias_name="s1"),
+                                 Sum("s2", alias_name="s2")) \
+        .to_pandas().sort_values("fi")
+    out = []
+    for _, r in agg.iterrows():
+        n = int(r.n)
+        mean = (float(r.s1) / n) / QUANT
+        a = (float(r.s2) / n) / (QUANT * QUANT)
+        var = a - mean * mean
+        out.append({"feature": feats[int(r.fi)], "n_pairs": n,
+                    "mean_ratio_q": mean,
+                    "std_ratio_q": float(np.sqrt(max(var, 0.0)))})
+    df = pd.DataFrame(out).sort_values(
+        ["std_ratio_q", "feature"]).reset_index(drop=True)
+    df["rnk"] = np.arange(1, len(df) + 1)
+    return df
+
+
 def geo_blocking_metrics(sf_dir: str):
     """Blocking recall / PC@K table (pipelines.py:369-394) over the exact-f64
     flat-subset bkafi blocker — the same rank-21 nn table geo_block_bkafi
@@ -1142,6 +1205,7 @@ QUERIES = {
     "geo_block_embedding": geo_block_embedding,
     "geo_blocking_metrics": geo_blocking_metrics,
     "geo_recall_grid_exact": geo_recall_grid_exact,
+    "geo_ratio_std": geo_ratio_std,
     "geo_blocking_dirty": geo_blocking_dirty,
     "multimodal_features": multimodal_features,
     "multimodal_real": multimodal_real,
@@ -1221,6 +1285,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_block_embedding": o.GEO_BLOCK_EMBEDDING,
         "geo_blocking_metrics": o.GEO_BLOCKING_METRICS,
         "geo_recall_grid_exact": o.GEO_RECALL_GRID_EXACT,
+        "geo_ratio_std": o.GEO_RATIO_STD,
         "dedup_minhash": o.DEDUP_MINHASH,
         "dedup_clusters": o.DEDUP_CLUSTERS,
     }
