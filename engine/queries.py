@@ -981,10 +981,11 @@ def mixture_sample(sf_dir: str):
     """Temperature-scaled multilingual mixture sampling (mT5/XLM-R tau=2):
     keep rate sqrt(n_lang/n_max) with md5 membership; bounded #langs driver
     collect.  Oracle-exact."""
+    from engine.corpus import size_aware_blocks
+    p = os.path.join(sf_dir, "documents.parquet")
     docs = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "lang", "source", "n_chars"],
-        override_num_blocks=32)
+        p, columns=["doc_id", "lang", "source", "n_chars"],
+        override_num_blocks=size_aware_blocks(p, 32))
     return text.mixture_sample(docs, seed=1)
 
 
