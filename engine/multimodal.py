@@ -178,3 +178,87 @@ def patch_embeddings(docs: ray.data.Dataset, concurrency: int = 4,
     return docs.map_batches(PatchEmbedActor, fn_constructor_kwargs=actor_kw,
                             batch_format="pyarrow", batch_size=batch_size,
                             concurrency=(1, concurrency))
+
+
+def resize_png_gray(png: bytes, out_size: int) -> bytes:
+    """Nearest-neighbor downsample of one of the engine's grayscale PNGs to
+    (out_size, out_size), re-encoded — a real bytes->bytes media transform
+    (the resize slot of a decode/extract/resize/frame-sample pipeline)."""
+    from engine.render import encode_png_gray
+    img = decode_png_gray(png)
+    h, w = img.shape
+    yi = (np.arange(out_size) * h) // out_size
+    xi = (np.arange(out_size) * w) // out_size
+    return encode_png_gray(np.ascontiguousarray(img[yi][:, xi]))
+
+
+class MediaResizeActor:
+    """Actor-pool resize stage over real PNG bytes: render -> decode ->
+    nearest-neighbor resize -> re-encode.  Emits per-doc byte sizes and a
+    CRC so determinism is checkable without shipping payloads to the
+    driver (the resized bytes themselves stay in the pipeline)."""
+
+    def __init__(self, out_size: int = 16, in_size: int = 64):
+        self.out_size, self.in_size = out_size, in_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+        has_source = "source" in batch.column_names
+        sources = batch.column("source").to_pylist() if has_source \
+            else [""] * batch.num_rows
+        ids, srcs, sizes_in, sizes_out, crcs = [], [], [], [], []
+        for d, so, spans in zip(batch.column("doc_id").to_pylist(), sources,
+                                batch.column("spans").to_pylist()):
+            png = render_doc_png(spans, self.in_size)
+            if png is None:
+                continue
+            small = resize_png_gray(png, self.out_size)
+            ids.append(d)
+            srcs.append(so)
+            sizes_in.append(len(png))
+            sizes_out.append(len(small))
+            crcs.append(zlib.crc32(small))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.string()),
+            "source": pa.array(srcs, type=pa.string()),
+            "png_bytes_in": pa.array(sizes_in, type=pa.int64()),
+            "png_bytes_out": pa.array(sizes_out, type=pa.int64()),
+            "png_crc_out": pa.array(crcs, type=pa.int64()),
+        })
+
+
+def media_resize(docs: ray.data.Dataset, out_size: int = 16,
+                 concurrency: int = 4,
+                 batch_size: int = 128) -> ray.data.Dataset:
+    """docs (doc_id, spans) -> resized-media metadata via the actor pool."""
+    return docs.map_batches(MediaResizeActor,
+                            fn_constructor_kwargs={"out_size": out_size},
+                            batch_format="pyarrow", batch_size=batch_size,
+                            concurrency=(1, concurrency))
+
+
+def frame_sample(docs: ray.data.Dataset, stride: int = 2) -> ray.data.Dataset:
+    """Frame sampling over a document's media-span sequence (the video
+    frame-sample slot: keep every ``stride``-th media span, preserving
+    order): one output row per KEPT span — (doc_id, frame_idx among the
+    doc's media spans, media_ref, offset).  Stateless vectorizable
+    map_batches; the span sequence itself is never mutated (the per-row
+    span invariant holds upstream)."""
+    def sample(batch: pa.Table) -> pa.Table:
+        ids, fidx, refs, offs = [], [], [], []
+        for d, spans in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("spans").to_pylist()):
+            media = [s for s in spans if s["kind"] == "media"]
+            for i in range(0, len(media), stride):
+                ids.append(d)
+                fidx.append(i)
+                refs.append(media[i]["media_ref"])
+                offs.append(media[i]["offset"])
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.string()),
+            "frame_idx": pa.array(fidx, type=pa.int32()),
+            "media_ref": pa.array(refs, type=pa.string()),
+            "offset": pa.array(offs, type=pa.int32()),
+        })
+
+    return docs.map_batches(sample, batch_format="pyarrow")

@@ -614,6 +614,23 @@ def multimodal_real(sf_dir: str):
     return embedding_nn_dataset(side("cands"), index, nn_param=5)
 
 
+def media_resize(sf_dir: str):
+    """Media resize stage (the decode -> resize half of a media pipeline):
+    render -> real PNG bytes -> stdlib decode -> nearest-neighbor 64->16
+    downsample -> re-encode, actor pool; emits per-doc in/out byte sizes +
+    CRC (payloads stay in the pipeline).  Rows-only (zlib bytes)."""
+    from engine.multimodal import media_resize as _mr
+    return _mr(corpus_dataset(sf_dir), out_size=16)
+
+
+def media_frames(sf_dir: str):
+    """Frame sampling over each doc's media-span sequence (every 2nd media
+    span, order preserved) — the video frame-sample slot as a stateless
+    vectorizable map.  Rows-only (spans are engine-derived)."""
+    from engine.multimodal import frame_sample
+    return frame_sample(corpus_dataset(sf_dir), stride=2)
+
+
 def geo_contamination(sf_dir: str):
     """Contamination robustness (contamination_experiments.py:67-85):
     contaminate 20% of test pair features, rescore, report flips.  Rows-only."""
@@ -1210,6 +1227,8 @@ QUERIES = {
     "geo_blocking_dirty": geo_blocking_dirty,
     "multimodal_features": multimodal_features,
     "multimodal_real": multimodal_real,
+    "media_resize": media_resize,
+    "media_frames": media_frames,
     "geo_render": geo_render,
     "geo_match": geo_match,
     "geo_blocking_recall_grid": geo_blocking_recall_grid,

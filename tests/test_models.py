@@ -213,3 +213,35 @@ def test_multimodal_real_planted_recall(ray_session):
     again = multimodal_real(SF).to_pandas()
     assert nn.sort_values(["cand_id", "rank"]).reset_index(drop=True).equals(
         again.sort_values(["cand_id", "rank"]).reset_index(drop=True))
+
+
+def test_media_resize_and_frame_sample(ray_session):
+    """Resize: output PNGs decode to (16,16) with content from the source
+    canvas (deterministic CRCs); frame-sample: every stride-th media span
+    kept in order on a constructed multi-span doc."""
+    import pyarrow as pa
+    import ray.data
+    from engine.multimodal import (decode_png_gray, frame_sample,
+                                   resize_png_gray)
+    from engine.queries import media_resize as q_resize
+    from engine.render import encode_png_gray
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    small = decode_png_gray(resize_png_gray(encode_png_gray(img), 16))
+    assert small.shape == (16, 16)
+    assert (small == img[::4, ::4]).all()  # nearest-neighbor stride
+    out = q_resize(SF).to_pandas()
+    assert len(out) > 0 and (out.png_bytes_out < out.png_bytes_in).all()
+    key = ["doc_id", "source"]  # doc_id repeats across the two sources
+    again = q_resize(SF).to_pandas().sort_values(key)
+    assert out.sort_values(key).png_crc_out.tolist() \
+        == again.png_crc_out.tolist()
+    # frame sampling on a 5-media-span doc
+    spans = [{"kind": "media", "text": "", "media_ref": f"png://f/{i}",
+              "offset": i} for i in range(5)]
+    spans.insert(2, {"kind": "text", "text": "x", "media_ref": "",
+                     "offset": 99})
+    docs = ray.data.from_items([{"doc_id": "7", "spans": spans}])
+    f = frame_sample(docs, stride=2).to_pandas()
+    assert f.media_ref.tolist() == ["png://f/0", "png://f/2", "png://f/4"]
+    assert f.frame_idx.tolist() == [0, 2, 4]
