@@ -262,3 +262,63 @@ def frame_sample(docs: ray.data.Dataset, stride: int = 2) -> ray.data.Dataset:
         })
 
     return docs.map_batches(sample, batch_format="pyarrow")
+
+
+def _synth_audio_stub(media_ref: str, n: int = 256) -> np.ndarray:
+    """STUB audio decode (no audio libs in this container — a real
+    implementation would fetch + decode PCM here): a deterministic
+    square wave whose period derives from md5(media_ref), int16 samples.
+    Integer-valued by construction so every downstream feature is exact."""
+    h = int.from_bytes(hashlib.md5(media_ref.encode()).digest()[:8], "little")
+    p = 2 + h % 31
+    i = np.arange(n)
+    return np.where((i // p) % 2 == 0, 8, -8).astype(np.int16)
+
+
+class AudioFeatureActor:
+    """Actor-pool audio feature stage: 'codec' bound once per actor
+    (__init__ is the decoder/model-load slot), per batch the REAL
+    vectorized DSP runs on the decoded waveform — energy (sum of squares),
+    zero-crossing count (sign-change scan), exact periodicity detection
+    (minimal lag L with w[i+L] == w[i] for every overlapping sample).
+    All-integer waveform -> every emitted value is exact
+    (SQL-replicable)."""
+
+    def __init__(self, n_samples: int = 256):
+        self.decode = _synth_audio_stub
+        self.n = n_samples
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, refs, energy, zc, period = [], [], [], [], []
+        for d, spans in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("spans").to_pylist()):
+            for s in spans:
+                if s["kind"] != "media" or not s["media_ref"]:
+                    continue
+                w = self.decode(s["media_ref"], self.n).astype(np.int64)
+                ids.append(d)
+                refs.append(s["media_ref"])
+                energy.append(int((w * w).sum()))
+                zc.append(int((w[1:] * w[:-1] < 0).sum()))
+                per = 0
+                for L in range(1, len(w) // 2 + 1):
+                    if (w[L:] == w[:-L]).all():
+                        per = L
+                        break
+                period.append(per)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.string()),
+            "media_ref": pa.array(refs, type=pa.string()),
+            "energy": pa.array(energy, type=pa.int64()),
+            "zero_crossings": pa.array(zc, type=pa.int64()),
+            "period_est": pa.array(period, type=pa.int64()),
+        })
+
+
+def audio_features(docs: ray.data.Dataset, concurrency: int = 2,
+                   batch_size: int = 256) -> ray.data.Dataset:
+    """Media spans -> audio DSP features (actor pool; stub decode
+    declared, DSP real)."""
+    return docs.map_batches(AudioFeatureActor, batch_format="pyarrow",
+                            batch_size=batch_size,
+                            concurrency=(1, concurrency))

@@ -381,6 +381,38 @@ FROM st
 GEO_RATIO_STD = _ratio_std_sql()
 
 
+# Audio features over every corpus media span (engine/multimodal.py
+# audio_features): the stub waveform is a square wave with period
+# p = 2 + md5_number_upper(media_ref) % 31 and amplitude 8 over 256
+# samples, so energy = 256*64, zero crossings = floor(255/p) (one sign
+# flip at every multiple of p) and the exact minimal-shift period = 2p —
+# all integers, replicated in closed form over the same md5.
+MEDIA_AUDIO = """
+WITH m AS (
+  SELECT doc_id AS k,
+         ((((doc_id * 1000003 + 7) % 1000000007) * 1103515245 + 54321)
+          // 9801000000 // 27) % 100 < 85 AS matched
+  FROM documents
+), docs AS (
+  SELECT CAST(k AS VARCHAR) AS doc_id, k AS ref_k FROM m
+  UNION ALL
+  SELECT CAST(k AS VARCHAR), k FROM m WHERE matched
+  UNION ALL
+  SELECT CAST(k + 10000000 AS VARCHAR), k + 10000000 FROM m
+), feat AS (
+  SELECT doc_id, 'png://' || ref_k || '/0' AS media_ref,
+         CAST(2 + (md5_number_upper('png://' || ref_k || '/0') % 31)
+              AS BIGINT) AS p
+  FROM docs
+)
+SELECT doc_id, media_ref,
+       CAST(16384 AS BIGINT) AS energy,
+       255 // p AS zero_crossings,
+       2 * p AS period_est
+FROM feat
+"""
+
+
 # percentile threshold sweep over the same exact-f64 flat-subset nn table
 # (bkafi_with_threshold.py:131-141, 232-269): thresholds replicate
 # np.percentile's virtual-index + lerp arithmetic over the matched-pair

@@ -631,6 +631,16 @@ def media_frames(sf_dir: str):
     return frame_sample(corpus_dataset(sf_dir), stride=2)
 
 
+def media_audio(sf_dir: str):
+    """Audio modality slot: declared-stub waveform decode (square wave keyed
+    by md5(media_ref) — no audio libs in this container) + REAL vectorized
+    DSP per span (energy sum-of-squares, zero-crossing scan, exact minimal
+    lag periodicity).  All-integer waveform, so every feature is exact and
+    the oracle replicates via closed forms over the same md5."""
+    from engine.multimodal import audio_features
+    return audio_features(corpus_dataset(sf_dir))
+
+
 def geo_contamination(sf_dir: str):
     """Contamination robustness (contamination_experiments.py:67-85):
     contaminate 20% of test pair features, rescore, report flips.  Rows-only."""
@@ -1229,6 +1239,7 @@ QUERIES = {
     "multimodal_real": multimodal_real,
     "media_resize": media_resize,
     "media_frames": media_frames,
+    "media_audio": media_audio,
     "geo_render": geo_render,
     "geo_match": geo_match,
     "geo_blocking_recall_grid": geo_blocking_recall_grid,
@@ -1302,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": o.INVERTED_INDEX,
         "pack_sequences": o.PACK_SEQUENCES,
         "multimodal_features": o.MULTIMODAL_FEATURES,
+        "media_audio": o.MEDIA_AUDIO,
         "geo_block_embedding": o.GEO_BLOCK_EMBEDDING,
         "geo_blocking_metrics": o.GEO_BLOCKING_METRICS,
         "geo_recall_grid_exact": o.GEO_RECALL_GRID_EXACT,

@@ -245,3 +245,25 @@ def test_media_resize_and_frame_sample(ray_session):
     f = frame_sample(docs, stride=2).to_pandas()
     assert f.media_ref.tolist() == ["png://f/0", "png://f/2", "png://f/4"]
     assert f.frame_idx.tolist() == [0, 2, 4]
+
+
+def test_audio_features_closed_forms(ray_session):
+    """Square-wave DSP: zero crossings = floor((n-1)/p), minimal-shift
+    period = 2p, energy = n * A^2 — the real scans must equal the closed
+    forms for arbitrary refs."""
+    import hashlib
+    import pyarrow as pa
+    from engine.multimodal import AudioFeatureActor
+    a = AudioFeatureActor()
+    refs = [f"png://{k}/0" for k in (0, 7, 999, 10000042, 123456789)]
+    spans = [[{"kind": "media", "text": "", "media_ref": r, "offset": 0}]
+             for r in refs]
+    t = pa.table({"doc_id": pa.array([str(i) for i in range(len(refs))]),
+                  "spans": pa.array(spans)})
+    out = a(t).to_pydict()
+    for i, r in enumerate(refs):
+        h = int.from_bytes(hashlib.md5(r.encode()).digest()[:8], "little")
+        p = 2 + h % 31
+        assert out["energy"][i] == 256 * 64
+        assert out["zero_crossings"][i] == 255 // p
+        assert out["period_est"][i] == 2 * p
