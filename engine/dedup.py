@@ -956,28 +956,55 @@ def substring_dup_stats(docs: ray.data.Dataset, w: int = 8,
         return pa.table({"doc_id": batch.column("doc_id"),
                          "n_positions": pa.array(n_pos)})
 
+    # rolling-polynomial gram hash over 32-bit token hashes: one md5 per
+    # UNIQUE token (batch cache), then 8 vectorized uint64 ops per doc —
+    # no per-gram string joins or md5 calls.  uint64 wraparound per term
+    # is congruent mod 2^64 to the oracle's full-precision HUGEINT sum,
+    # so both sides group on the same value (collisions, astronomically
+    # rare, replicate identically).  Shipped as the int64 two's-complement
+    # view (bijective; Ray's groupby keeps int64 native where uint64 falls
+    # back to pickled objects).
+    B = np.uint64(1000003)
+    POWS = np.empty(w, dtype=np.uint64)
+    POWS[w - 1] = 1
+    with np.errstate(over="ignore"):       # wraparound mod 2^64 is the point
+        for j in range(w - 2, -1, -1):
+            POWS[j] = POWS[j + 1] * B      # B^(w-1-j) mod 2^64
+
     def explode(batch: pa.Table) -> pa.Table:
         ids, grams, cnts = [], [], []
-        for d, t in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("text").to_pylist()):
-            toks = t.split(" ")
+        tok_lists = [t.split(" ") for t in batch.column("text").to_pylist()]
+        if hash_grams:
+            cache: dict[str, int] = {}
+            for tl in tok_lists:
+                for tok in tl:
+                    if tok not in cache:
+                        cache[tok] = int.from_bytes(
+                            hashlib.md5(tok.encode()).digest()[:8],
+                            "little") & 0xFFFFFFFF
+        hs_out = []
+        for d, toks in zip(batch.column("doc_id").to_pylist(), tok_lists):
             n_pos = len(toks) - w + 1
             if n_pos <= 0:
                 continue
-            u, c = np.unique([" ".join(toks[i:i + w]) for i in range(n_pos)],
-                             return_counts=True)
+            if hash_grams:
+                th = np.fromiter((cache[t] for t in toks), dtype=np.uint64,
+                                 count=len(toks))
+                acc = np.zeros(n_pos, dtype=np.uint64)
+                for j in range(w):
+                    acc += th[j:j + n_pos] * POWS[j]
+                u, c = np.unique(acc, return_counts=True)
+                hs_out.append(u)
+            else:
+                u, c = np.unique(
+                    [" ".join(toks[i:i + w]) for i in range(n_pos)],
+                    return_counts=True)
+                grams.extend(u.tolist())
             ids.extend([d] * len(u))
-            grams.extend(u.tolist())
             cnts.extend(c.tolist())
         if hash_grams:
-            # md5 once per gram; the u64 rides the shuffle as its int64
-            # two's-complement view (bijective — same groups/joins; Ray's
-            # groupby keeps int64 native where uint64 falls back to pickled
-            # objects)
-            hs = np.empty(len(grams), dtype=np.uint64)
-            for i, g in enumerate(grams):
-                hs[i] = int.from_bytes(hashlib.md5(g.encode()).digest()[:8],
-                                       "little")
+            hs = np.concatenate(hs_out) if hs_out \
+                else np.empty(0, dtype=np.uint64)
             gram_col = pa.array(hs.view(np.int64), type=pa.int64())
         else:
             gram_col = pa.array(grams, type=pa.string())
