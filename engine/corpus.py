@@ -94,6 +94,8 @@ def size_aware_blocks(path: str, requested: int, min_blocks: int = 8,
                        if e.is_file() and e.name.endswith(".parquet"))
     else:
         files = [path]
+    if not files:
+        return int(min(min_blocks, requested))
     # probe at most 16 footers and extrapolate — a 100 TB corpus with
     # thousands of files must not pay a footer read per file on the driver
     probe = files[:: max(1, len(files) // 16)][:16]

@@ -79,7 +79,7 @@ def media_features(docs: ray.data.Dataset, concurrency: int = 2,
     """Media spans -> deterministic feature vectors (actor pool).  Small
     batch_size on purpose: real binary payloads are heap-heavy per row."""
     return docs.map_batches(MediaFeatureActor, batch_format="pyarrow",
-                            batch_size=batch_size, concurrency=(1, concurrency), max_restarts=0)
+                            batch_size=batch_size, concurrency=(1, concurrency))
 
 
 # ---------------------------------------------------------------------------
@@ -177,7 +177,7 @@ def patch_embeddings(docs: ray.data.Dataset, concurrency: int = 4,
     and decodes a canvas (heap-heavy, like any real media decode)."""
     return docs.map_batches(PatchEmbedActor, fn_constructor_kwargs=actor_kw,
                             batch_format="pyarrow", batch_size=batch_size,
-                            concurrency=(1, concurrency), max_restarts=0)
+                            concurrency=(1, concurrency))
 
 
 def resize_png_gray(png: bytes, out_size: int) -> bytes:
@@ -234,7 +234,7 @@ def media_resize(docs: ray.data.Dataset, out_size: int = 16,
     return docs.map_batches(MediaResizeActor,
                             fn_constructor_kwargs={"out_size": out_size},
                             batch_format="pyarrow", batch_size=batch_size,
-                            concurrency=(1, concurrency), max_restarts=0)
+                            concurrency=(1, concurrency))
 
 
 def frame_sample(docs: ray.data.Dataset, stride: int = 2) -> ray.data.Dataset:
@@ -321,4 +321,4 @@ def audio_features(docs: ray.data.Dataset, concurrency: int = 2,
     declared, DSP real)."""
     return docs.map_batches(AudioFeatureActor, batch_format="pyarrow",
                             batch_size=batch_size,
-                            concurrency=(1, concurrency), max_restarts=0)
+                            concurrency=(1, concurrency))

@@ -324,8 +324,8 @@ def _recall_grid_sql() -> str:
     FROM cs CROSS JOIN xs)
   WHERE cand_id = index_id AND rnk <= 21 GROUP BY cand_id
 )""")
-        union = "\n  UNION ALL ".join(
-            f"SELECT * FROM h{i}" for i in range(1, 7))
+    union = "\n  UNION ALL ".join(
+        f"SELECT * FROM h{d}" for d in range(1, 7))
     return _BKAFI_CTES + ", " + ",\n".join(parts) + f"""
 , hits AS (
   {union}

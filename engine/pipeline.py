@@ -86,6 +86,8 @@ def split_cands_dataset(cands: ray.data.Dataset, index_sorted_ref,
         if not ids:
             return b
         idx = ray.get(index_sorted_ref)
+        if len(idx) == 0:   # empty index side -> empty intersection
+            return b.filter(pa.array(np.zeros(len(ids), dtype=bool)))
         v = np.asarray([int(i) for i in ids], dtype=np.int64)
         pos = np.searchsorted(idx, v)
         pos[pos == len(idx)] = 0
@@ -113,12 +115,35 @@ def prep_train(props: ray.data.Dataset, seed: int = 1,
     index_ids = side_dataset(props, "index", ["doc_id"]) \
         .to_pandas().doc_id.tolist()
     split_ref = ray.put(np.sort(np.asarray(index_ids, dtype=np.int64)))
-    cand_id_ds = side_dataset(props, "cands", ["doc_id"])
+    # ONE pass over the cands side: intersection membership + split flag,
+    # materialized as a narrow (doc_id, is_train) id table in the object
+    # store; only the train subset then collects to the driver and the test
+    # count is the complement — no second scan of the property table
+    def tag(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        if not ids:
+            return pa.table({"doc_id": pa.array([], type=pa.string()),
+                             "is_train": pa.array([], type=pa.bool_())})
+        idx = ray.get(split_ref)
+        v = np.asarray([int(i) for i in ids], dtype=np.int64)
+        if len(idx):
+            pos = np.searchsorted(idx, v)
+            pos[pos == len(idx)] = 0
+            in_idx = idx[pos] == v
+        else:
+            in_idx = np.zeros(len(v), dtype=bool)
+        tr = splits.split_bucket(ids, seed)
+        b = b.filter(pa.array(in_idx))
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "is_train": pa.array(tr[in_idx])})
+
+    inter_ds = side_dataset(props, "cands", ["doc_id"]) \
+        .map_batches(tag, batch_format="pyarrow").materialize()
     train_ids = sorted(
-        split_cands_dataset(cand_id_ds, split_ref, seed, train=True)
+        inter_ds.map_batches(lambda b: b.filter(b.column("is_train")),
+                             batch_format="pyarrow")
         .to_pandas().doc_id.tolist(), key=int)
-    n_test = split_cands_dataset(cand_id_ds, split_ref, seed,
-                                 train=False).count()
+    n_test = inter_ds.count() - len(train_ids)
     pair_ds = splits.negative_sample_pairs(train_ids, index_ids, neg_num,
                                            seed)
     feat_ds = pairs.pair_features_join(pair_ds, props)

@@ -290,11 +290,16 @@ def geo_recall_grid_exact(sf_dir: str):
     cands = _flat_side(props, "cands", ["doc_id", *_FIXED_BLOCK_FEATURES])
     index_df = _flat_side(
         props, "index", ["doc_id", *_FIXED_BLOCK_FEATURES]).to_pandas()
-    idx_ids = ray.put(index_df["doc_id"].to_numpy())
+    idx_ids = ray.put(
+        np.sort(index_df["doc_id"].astype(np.int64).to_numpy()))
 
     def inter(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b.column("doc_id").to_pylist(), dtype=object)
-        hit = np.isin(ids, ray.get(idx_ids))
+        import pyarrow.compute as pc2
+        idx = ray.get(idx_ids)
+        v = pc2.cast(b.column("doc_id"), pa.int64()).to_numpy()
+        pos = np.searchsorted(idx, v)
+        pos[pos == len(idx)] = 0
+        hit = idx[pos] == v
         return pa.table({"n": pa.array([int(hit.sum())], type=pa.int64())})
 
     n_inter = cands.map_batches(inter, batch_format="pyarrow") \
@@ -342,26 +347,38 @@ def geo_ratio_std(sf_dir: str):
             vc = b.column(f).to_numpy()[m]
             vi = idx_mat[pos[m], k]
             rq = np.floor((vi / vc) * QUANT).astype(np.int64)
-            rows.append((k, len(rq), int(rq.sum()),
-                         int((rq.astype(object) ** 2).sum())))
+            s2 = int((rq.astype(object) ** 2).sum())
+            # moment sums ride the shuffle split into 31-bit limbs so the
+            # int64 Ray Sum cannot wrap at any corpus size (the driver
+            # recombines with exact Python ints, matching the oracle's
+            # HUGEINT sums bit-for-bit)
+            s1 = int(rq.sum())
+            rows.append((k, len(rq), s1 >> 31, s1 & 0x7FFFFFFF,
+                         s2 >> 31, s2 & 0x7FFFFFFF))
         return pa.table({
             "fi": pa.array([r[0] for r in rows], type=pa.int64()),
             "n": pa.array([r[1] for r in rows], type=pa.int64()),
-            "s1": pa.array([r[2] for r in rows], type=pa.int64()),
-            "s2": pa.array([r[3] for r in rows], type=pa.int64()),
+            "s1_hi": pa.array([r[2] for r in rows], type=pa.int64()),
+            "s1_lo": pa.array([r[3] for r in rows], type=pa.int64()),
+            "s2_hi": pa.array([r[4] for r in rows], type=pa.int64()),
+            "s2_lo": pa.array([r[5] for r in rows], type=pa.int64()),
         })
 
     agg = _flat_side(props, "cands", ["doc_id", *feats]) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("fi").aggregate(Sum("n", alias_name="n"),
-                                 Sum("s1", alias_name="s1"),
-                                 Sum("s2", alias_name="s2")) \
+                                 Sum("s1_hi", alias_name="s1_hi"),
+                                 Sum("s1_lo", alias_name="s1_lo"),
+                                 Sum("s2_hi", alias_name="s2_hi"),
+                                 Sum("s2_lo", alias_name="s2_lo")) \
         .to_pandas().sort_values("fi")
     out = []
     for _, r in agg.iterrows():
         n = int(r.n)
-        mean = (float(r.s1) / n) / QUANT
-        a = (float(r.s2) / n) / (QUANT * QUANT)
+        s1 = (int(r.s1_hi) << 31) + int(r.s1_lo)
+        s2 = (int(r.s2_hi) << 31) + int(r.s2_lo)
+        mean = (float(s1) / n) / QUANT
+        a = (float(s2) / n) / (QUANT * QUANT)
         var = a - mean * mean
         out.append({"feature": feats[int(r.fi)], "n_pairs": n,
                     "mean_ratio_q": mean,
