@@ -1553,3 +1553,28 @@ SELECT user_id, event_id, session_id,
          AS session_size
 FROM t
 """
+
+# KMV distinct-shingle sketch (engine/text.py approx_distinct_kmv): the k-th
+# smallest distinct md5-low-8 shingle hash and the (k-1)*2^64/h_k estimate.
+# The estimate is one UBIGINT->DOUBLE rounding + one IEEE division on both
+# sides; 4703919738795935662080.0 == (256-1) * 2^64 exactly (< 2^73, 8-bit
+# mantissa), so the literal parses to the identical double.
+APPROX_DISTINCT = """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      FROM t WHERE len(toks) >= 3),
+s AS (SELECT DISTINCT toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+      FROM g),
+h AS (SELECT md5_number_upper(sh) AS h FROM s),
+ord AS (SELECT h, row_number() OVER (ORDER BY h) AS r FROM h),
+c AS (SELECT COUNT(*) AS nd FROM h)
+SELECT CAST(256 AS BIGINT) AS k,
+       CAST(LEAST(nd, 256) AS BIGINT) AS n_sketch,
+       CAST(COALESCE((SELECT h FROM ord WHERE r = LEAST(nd, 256)), 0)
+            AS UBIGINT) AS kth_hash,
+       CASE WHEN nd >= 256
+            THEN 4703919738795935662080.0 /
+                 CAST((SELECT h FROM ord WHERE r = 256) AS DOUBLE)
+            ELSE CAST(nd AS DOUBLE) END AS est_distinct
+FROM c
+"""

@@ -1152,6 +1152,14 @@ def pack_sequences(sf_dir: str):
     return _ps(_docs(sf_dir), window=256)
 
 
+def approx_distinct(sf_dir: str):
+    """KMV distinct-count sketch over the 3-gram shingle space (k=256):
+    per-block k-min combiner -> two-level lossless merge -> one-row
+    estimate.  Deterministic md5 hashing, so oracle-exact."""
+    from engine.text import approx_distinct_kmv
+    return approx_distinct_kmv(_docs(sf_dir), k=256, n=3)
+
+
 def sim_knn_cosine(sf_dir: str):
     emb = _emb(sf_dir)
     return similarity.brute_knn(emb, query_ids=list(range(20)), k=10)
@@ -1227,6 +1235,7 @@ QUERIES = {
     "text_repetition": text_repetition,
     "inverted_index": inverted_index,
     "pack_sequences": pack_sequences,
+    "approx_distinct": approx_distinct,
     "sim_knn_cosine": sim_knn_cosine,
     "sim_knn_lsh": sim_knn_lsh,
     "sim_knn_ivf": sim_knn_ivf,
@@ -1325,6 +1334,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": o.DEDUP_EMBEDDING,
         "dedup_semantic": o.DEDUP_SEMANTIC,
         "corpus_stats": o.CORPUS_STATS,
+        "approx_distinct": o.APPROX_DISTINCT,
         "text_tfidf": o.TFIDF_TOPK,
         "text_repetition": o.TEXT_REPETITION,
         "inverted_index": o.INVERTED_INDEX,

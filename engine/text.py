@@ -654,3 +654,79 @@ def lm_quality(docs: ray.data.Dataset, max_cost: int = 16,
         })
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def approx_distinct_kmv(docs: ray.data.Dataset, k: int = 256,
+                        n: int = 3) -> "pa.Table":
+    """KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al. 2002,
+    Beyer et al. SIGMOD'07) over the corpus's n-gram shingle space —
+    the cardinality a dedup planner needs (shuffle sizing for
+    ``ngram_jaccard_pairs`` / ``substring_dup_stats``) without a
+    corpus-wide distinct.  Shingle semantics == ``dedup._shingles`` (docs
+    shorter than n tokens contribute nothing).
+
+    Scale shape — a mergeable sketch, the combiner-tree pattern:
+    each input block emits its k smallest DISTINCT token hashes (<= k rows,
+    one uint64 column); every global top-k-minimum value is by construction
+    inside its own block's partial, so the union of partials is a lossless
+    superset.  A second-level k-min over a few coalesced blocks bounds the
+    driver collect at O(levels * k), never O(vocabulary): at 10^6 input
+    blocks the tree is (10^6 x k) -> (32 x k) -> k.  Nothing corpus-sized
+    rides a shuffle or the driver.
+
+    Estimator: with hashes uniform on [0, 2^64), est = (k-1) * 2^64 / h_(k)
+    where h_(k) is the k-th smallest distinct hash; exact count when the
+    vocabulary is smaller than k.  Hashing is the house md5-low-8
+    little-endian convention (== DuckDB md5_number_upper), and the estimate
+    is ONE uint64->double rounding plus ONE IEEE division, so the whole row
+    is bit-replicable in SQL.
+    """
+    import hashlib
+
+    # bound OUTSIDE the UDFs: a lazy import inside the shipped closure would
+    # bypass the by-value module registration and fail on foreign workers
+    from engine.dedup import _shingles
+
+    def kmin(col: pa.ChunkedArray | pa.Array, texts: bool) -> np.ndarray:
+        if texts:
+            uniq = {s for t in col.to_pylist() for s in _shingles(t, n)}
+            hs = np.fromiter(
+                (int.from_bytes(hashlib.md5(w.encode()).digest()[:8],
+                                "little") for w in uniq),
+                dtype=np.uint64, count=len(uniq))
+        else:
+            hs = np.unique(col.to_numpy(zero_copy_only=False))
+        if len(hs) > k:
+            hs = np.partition(hs, k - 1)[:k]
+        return np.sort(hs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"h": pa.array(kmin(batch.column("text"), True),
+                                       type=pa.uint64())})
+
+    def merge(batch: pa.Table) -> pa.Table:
+        return pa.table({"h": pa.array(kmin(batch.column("h"), False),
+                                       type=pa.uint64())})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow")
+    # level-2 combine bounds the collect below at 8*k rows regardless of
+    # input block count (deepen the tree for >10^6-block inputs)
+    tiny = parts.repartition(8).map_batches(merge, batch_format="pyarrow")
+    u = np.unique(np.concatenate(
+        [b.column("h").to_numpy(zero_copy_only=False)
+         for b in tiny.iter_batches(batch_format="pyarrow")] or
+        [np.array([], dtype=np.uint64)]))
+    if len(u) >= k:
+        kth = int(u[k - 1])
+        est = float(k - 1) * 2.0 ** 64 / float(kth)
+        n_sketch = k
+    else:  # vocabulary smaller than the sketch: the sketch IS exact
+        kth = int(u[-1]) if len(u) else 0
+        est = float(len(u))
+        n_sketch = len(u)
+    return pa.table({
+        "k": pa.array([k], type=pa.int64()),
+        "n_sketch": pa.array([n_sketch], type=pa.int64()),
+        "kth_hash": pa.array([kth], type=pa.uint64()),
+        "est_distinct": pa.array([est], type=pa.float64()),
+    })

@@ -952,3 +952,42 @@ def test_events_sessions_parallelism_independent(ray_session):
     want = ev[["user_id", "event_id", "session_id", "session_size"]] \
         .sort_values(["user_id", "event_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out.astype("int64"), want.astype("int64"))
+
+
+def test_kmv_sketch_matches_serial_and_bounds_error(ray_session):
+    """Distributed KMV distinct-shingle sketch: the merged k-min set equals
+    the serial exact k smallest distinct hashes (losslessness of the
+    combiner tree), and the estimate lands within the ~1/sqrt(k-1)
+    theoretical error band on a high-cardinality corpus."""
+    import hashlib
+
+    from engine.dedup import _shingles
+    from engine.text import approx_distinct_kmv
+
+    rng = np.random.default_rng(7)
+    vocab = np.array(["t%d" % i for i in range(400)], dtype=object)
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 40)))
+             for _ in range(400)]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts)})).repartition(7)
+    k = 64
+    out = approx_distinct_kmv(docs, k=k, n=3).to_pandas()
+    # serial reference
+    sh = {s for t in texts for s in _shingles(t, 3)}
+    hs = np.sort(np.array(
+        [int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+         for s in sh], dtype=np.uint64))
+    assert out.loc[0, "k"] == k
+    assert out.loc[0, "n_sketch"] == min(k, len(hs))
+    assert int(out.loc[0, "kth_hash"]) == int(hs[min(k, len(hs)) - 1])
+    est, exact = float(out.loc[0, "est_distinct"]), len(hs)
+    assert exact > 3 * k  # the estimator branch, not the exact branch
+    assert abs(est - exact) / exact < 4.0 / np.sqrt(k - 1)
+    # exact branch: tiny corpus -> est == true distinct count
+    small = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["a b c d", "b c d e"])}))
+    o2 = approx_distinct_kmv(small, k=k, n=3).to_pandas()
+    assert float(o2.loc[0, "est_distinct"]) == 3.0  # {a b c, b c d, c d e}
+    assert o2.loc[0, "n_sketch"] == 3
