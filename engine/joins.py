@@ -209,6 +209,23 @@ def bucketed_anti_join(left: ray.data.Dataset, right: ray.data.Dataset,
     hash-bucket on the key and each bucket group filters locally with a
     vectorized is_in — only the key column of the right side rides the
     shuffle."""
+    return _bucketed_filter_join(left, right, left_key, right_key,
+                                 num_buckets, anti=True)
+
+
+def bucketed_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                       left_key: str, right_key: str,
+                       num_buckets: int = 64) -> ray.data.Dataset:
+    """Partitioned semi join: keeps left rows whose key HAS a right match
+    (exactly once, regardless of right-side duplicates) — the
+    membership-filter complement of ``bucketed_anti_join``."""
+    return _bucketed_filter_join(left, right, left_key, right_key,
+                                 num_buckets, anti=False)
+
+
+def _bucketed_filter_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                          left_key: str, right_key: str,
+                          num_buckets: int, anti: bool) -> ray.data.Dataset:
     import pyarrow.compute as pc
     lschema = left.schema()
     lcols = list(lschema.names)
@@ -236,16 +253,88 @@ def bucketed_anti_join(left: ray.data.Dataset, right: ray.data.Dataset,
             "__bucket", pa.array((h % num_buckets).astype(np.int64))
         ).append_column("__side", pa.array(["r"] * out.num_rows))
 
-    def anti_group(g: pa.Table) -> pa.Table:
+    def filt_group(g: pa.Table) -> pa.Table:
         mask = pc.equal(g.column("__side"), pa.scalar("l"))
         lg = g.filter(mask).select(lcols)
         excl = g.filter(pc.invert(mask)).column(left_key).combine_chunks()
         if len(excl) == 0:
-            return lg
-        keep = pc.invert(pc.is_in(lg.column(left_key), value_set=excl))
-        return lg.filter(keep)
+            return lg if anti else lg.slice(0, 0)
+        member = pc.is_in(lg.column(left_key), value_set=excl)
+        return lg.filter(pc.invert(member) if anti else member)
 
     lt = left.map_batches(tag_l, batch_format="pyarrow")
     rt = right.map_batches(tag_r, batch_format="pyarrow")
     return lt.union(rt).groupby("__bucket").map_groups(
-        anti_group, batch_format="pyarrow")
+        filt_group, batch_format="pyarrow")
+
+
+def _bloom_positions(values, m_bits: int, j: int) -> np.ndarray:
+    """j deterministic bit positions per value: the md5 digest's first j
+    uint32 words mod m_bits (j <= 4)."""
+    pos = np.empty((len(values), j), dtype=np.int64)
+    for i, v in enumerate(values):
+        d = hashlib.md5(str(v).encode()).digest()
+        pos[i] = np.frombuffer(d, dtype=np.uint32)[:j] % m_bits
+    return pos
+
+
+def build_bloom(keys: ray.data.Dataset, key: str, m_bits: int = 1 << 17,
+                j: int = 4) -> np.ndarray:
+    """Distributed Bloom-filter build: each block emits its partial bitmap
+    (m_bits/8 bytes), a coalesced OR level bounds the driver collect at
+    8 bitmaps, the driver ORs those.  The bitmap is a mergeable sketch —
+    the OR tree deepens as O(log blocks) for larger inputs; nothing
+    key-set-sized reaches the driver."""
+    nbytes = m_bits // 8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        pos = _bloom_positions(batch.column(key).to_pylist(), m_bits, j)
+        np.bitwise_or.at(bm, pos.ravel() // 8,
+                         np.uint8(1) << (pos.ravel() % 8).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], type=pa.binary())})
+
+    def orm(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for b in batch.column("bm").to_pylist():
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pa.table({"bm": pa.array([acc.tobytes()], type=pa.binary())})
+
+    tiny = keys.map_batches(partial, batch_format="pyarrow") \
+        .repartition(8).map_batches(orm, batch_format="pyarrow")
+    acc = np.zeros(nbytes, dtype=np.uint8)
+    for b in tiny.iter_batches(batch_format="pyarrow"):
+        for buf in b.column("bm").to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint8)
+    return acc
+
+
+def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                    left_key: str, right_key: str, m_bits: int = 1 << 17,
+                    j: int = 4, num_buckets: int = 64) -> ray.data.Dataset:
+    """Exact semi join via a Bloom prefilter — the 100-TB join shape when
+    the right key set is too big to broadcast but the match rate is low:
+
+      1. distributed Bloom build over the right keys (OR tree above);
+      2. the m_bits/8-byte bitmap (16 KiB at the default) is ray.put ONCE
+         and every left block drops its guaranteed-non-members locally —
+         no false negatives, so nothing exact is lost;
+      3. only the surviving left rows (true matches + the ~(1-e^{-jn/m})^j
+         false-positive sliver) pay the bucketed exact semi-join shuffle.
+
+    Output is EXACT (verify step removes false positives); the bloom only
+    cuts shuffle bytes."""
+    ref = ray.put(build_bloom(right, right_key, m_bits, j))
+    holder: dict = {}
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        if "bm" not in holder:
+            holder["bm"] = ray.get(ref)
+        bm = holder["bm"]
+        pos = _bloom_positions(batch.column(left_key).to_pylist(), m_bits, j)
+        hit = (bm[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+        return batch.filter(pa.array(hit.all(axis=1)))
+
+    survivors = left.map_batches(prefilter, batch_format="pyarrow")
+    return bucketed_semi_join(survivors, right, left_key, right_key,
+                              num_buckets)

@@ -465,6 +465,13 @@ def q_customers_with_orders(sf_dir: str):
     return relational.customers_with_orders(sf_dir)
 
 
+def q_customers_bloom(sf_dir: str):
+    """Exact semi join via a distributed-Bloom prefilter + bucketed verify
+    (the 100-TB join shape); rows identical to q_customers_with_orders, so
+    the same SQL is the oracle."""
+    return relational.customers_with_orders_bloom(sf_dir)
+
+
 def q_customers_without_orders(sf_dir: str):
     return relational.customers_with_orders(sf_dir, anti=True)
 
@@ -1214,6 +1221,7 @@ QUERIES = {
     "q_top_orders": q_top_orders,
     "q_events_hourly": q_events_hourly,
     "q_customers_with_orders": q_customers_with_orders,
+    "q_customers_bloom": q_customers_bloom,
     "q_customers_without_orders": q_customers_without_orders,
     "q_part_brand_agg": q_part_brand_agg,
     "q_events_sliding": q_events_sliding,
@@ -1307,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
         "q_top_orders": o.REL_TOP_ORDERS,
         "q_events_hourly": o.REL_EVENTS_HOURLY,
         "q_customers_with_orders": o.REL_CUSTOMERS_WITH_ORDERS,
+        "q_customers_bloom": o.REL_CUSTOMERS_WITH_ORDERS,
         "q_customers_without_orders": o.REL_CUSTOMERS_WITHOUT_ORDERS,
         "q_part_brand_agg": o.REL_PART_BRAND_AGG,
         "q_events_sliding": o.REL_EVENTS_SLIDING,

@@ -129,6 +129,28 @@ def customers_with_orders(sf_dir: str, anti: bool = False,
     return broadcast_semi_join(cust, "c_custkey", keys, anti=anti)
 
 
+def customers_with_orders_bloom(sf_dir: str,
+                                min_total: float = 450000.0) -> ray.data.Dataset:
+    """Same rows as ``customers_with_orders``, via the at-scale join shape:
+    distributed Bloom build over the order keys (OR tree) -> broadcast
+    16 KiB bitmap prefilter on customers -> bucketed exact semi-join on the
+    survivors.  Exact output; the bloom only cuts shuffle bytes."""
+    import pyarrow.compute as _pc
+
+    from engine.joins import bloom_semi_join
+
+    def high(b: pa.Table) -> pa.Table:
+        b = b.filter(_pc.greater(b.column("o_totalprice"),
+                                 pa.scalar(min_total)))
+        return b.select(["o_custkey"])
+
+    keys = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(high, batch_format="pyarrow")
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    return bloom_semi_join(cust, keys, "c_custkey", "o_custkey",
+                           num_buckets=16)
+
+
 def supplier_part_join(sf_dir: str) -> ray.data.Dataset:
     """A both-sides-distributed join through the explicit bucketed hash join
     (the scale path): lineitem ⋈ part on partkey, grouped by brand."""

@@ -991,3 +991,31 @@ def test_kmv_sketch_matches_serial_and_bounds_error(ray_session):
     o2 = approx_distinct_kmv(small, k=k, n=3).to_pandas()
     assert float(o2.loc[0, "est_distinct"]) == 3.0  # {a b c, b c d, c d e}
     assert o2.loc[0, "n_sketch"] == 3
+
+
+def test_bloom_semi_join_exact_despite_false_positives(ray_session):
+    """bloom_semi_join output == broadcast_semi_join output even with a
+    deliberately tiny bitmap (high false-positive rate): the bucketed
+    verify removes every FP.  Also: duplicate right keys emit each left
+    row once, and the prefilter really drops non-members."""
+    from engine.joins import (bloom_semi_join, broadcast_semi_join,
+                              build_bloom, _bloom_positions)
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(range(300), type=pa.int64()),
+        "v": pa.array([f"v{i}" for i in range(300)])})).repartition(5)
+    rkeys = [3, 3, 3, 17, 17, 250, 299]  # dup-heavy right side
+    right = ray.data.from_arrow(pa.table({
+        "rk": pa.array(rkeys, type=pa.int64())})).repartition(2)
+    # tiny bitmap (64 bits, j=2) -> false positives are certain
+    got = bloom_semi_join(left, right, "k", "rk", m_bits=64, j=2,
+                          num_buckets=4).to_pandas().sort_values("k")
+    want = broadcast_semi_join(left, "k", set(rkeys)) \
+        .to_pandas().sort_values("k")
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+    assert got["k"].tolist() == [3, 17, 250, 299]  # dups collapse to once
+    # a realistic bitmap drops ~all non-members at the prefilter
+    bm = build_bloom(right, "rk", m_bits=1 << 17, j=4)
+    pos = _bloom_positions(list(range(300)), 1 << 17, 4)
+    hit = ((bm[pos // 8] >> (pos % 8).astype(np.uint8)) & 1).all(axis=1)
+    assert hit.sum() <= 4 + 3  # 4 true members + at most a few FPs
+    assert hit[[3, 17, 250, 299]].all()  # no false negatives, ever
