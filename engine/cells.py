@@ -93,3 +93,23 @@ def cover_bbox(xmin, ymin, xmax, ymax, res: int):
     ys = np.arange(iy0, iy1 + 1, dtype=np.int64)
     gx, gy = np.meshgrid(xs, ys, indexing="ij")
     return encode(res, gx.ravel(), gy.ravel())
+
+
+def parent(cell, parent_res: int):
+    """Ancestor cell at a coarser resolution (H3 'cell_to_parent'
+    analogue; vectorized).  Pure bit arithmetic on the packed id — exact,
+    and 1:1 expressible in SQL (ix >> s == ix // 2^s for ix >= 0)."""
+    res, ix, iy = decode(cell)
+    shift = res - np.int64(parent_res)
+    if np.any(shift < 0):
+        raise ValueError("parent_res coarser than cell res required")
+    return encode(parent_res, ix >> shift, iy >> shift)
+
+
+def children(cell: int) -> np.ndarray:
+    """The four child cells one resolution finer (quadtree split; H3
+    'cell_to_children' analogue)."""
+    res, ix, iy = decode(cell)
+    res, ix, iy = int(res) + 1, int(ix) << 1, int(iy) << 1
+    gx, gy = np.meshgrid([ix, ix + 1], [iy, iy + 1], indexing="ij")
+    return encode(res, gx.ravel(), gy.ravel())

@@ -1578,3 +1578,31 @@ SELECT CAST(256 AS BIGINT) AS k,
             ELSE CAST(nd AS DOUBLE) END AS est_distinct
 FROM c
 """
+
+# Multi-resolution cell rollup (engine/spatial.py cell_hierarchy): the res-11
+# bbox cover rolled up to res-8 ancestors (parent = pure bit arithmetic on
+# the packed id; ix >> 3 == ix // 8 for the non-negative world).  All-integer.
+GEO_CELL_HIERARCHY = _DIMS_ALL + """
+, cx AS (
+  SELECT k, y0, l,
+         unnest(generate_series(CAST(floor(x0 / 64) AS BIGINT),
+                                CAST(floor((x0 + w) / 64) AS BIGINT))) AS ix
+  FROM d
+), c AS (
+  SELECT k, ix,
+         unnest(generate_series(CAST(floor(y0 / 64) AS BIGINT),
+                                CAST(floor((y0 + l) / 64) AS BIGINT))) AS iy
+  FROM cx
+), pc AS (
+  SELECT (CAST(11 AS BIGINT) << 52) | (ix << 26) | iy AS cell,
+         (CAST(8 AS BIGINT) << 52) | ((ix // 8) << 26) | (iy // 8)
+           AS parent_cell
+  FROM c
+), d2 AS (
+  SELECT parent_cell, cell, COUNT(*) AS n FROM pc GROUP BY parent_cell, cell
+)
+SELECT parent_cell,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n) AS BIGINT) AS n_assignments
+FROM d2 GROUP BY parent_cell
+"""

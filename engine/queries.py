@@ -115,6 +115,21 @@ def geo_tiles(sf_dir: str):
         props.map_batches(cands_only, batch_format="pyarrow"), res=11)
 
 
+def geo_cell_hierarchy(sf_dir: str):
+    """Hierarchical H3/S2-style index rollup: res-11 tile cover ->
+    cell_to_parent(res 8) -> per-parent distinct-cell / assignment counts
+    (two tiny pre-aggregated shuffles).  Oracle-exact."""
+    import pyarrow.compute as pc
+    props = _props(sf_dir)
+
+    def cands_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("source"), pa.scalar("cands")))
+
+    return spatial.cell_hierarchy(
+        props.map_batches(cands_only, batch_format="pyarrow"),
+        res=11, parent_res=8)
+
+
 def geo_range_join(sf_dir: str):
     """Spatial range self-join (gap <= 2000 m — sized to the sparse test
     world's density; exact rectangle distance): expanded-bbox cell cover at
@@ -1255,6 +1270,7 @@ QUERIES = {
     "geo_centroids": geo_centroids,
     "geo_tiles": geo_tiles,
     "geo_tile_stats": geo_tile_stats,
+    "geo_cell_hierarchy": geo_cell_hierarchy,
     "geo_range_join": geo_range_join,
     "geo_pip": geo_pip,
     "geo_knn_spatial": geo_knn_spatial,
@@ -1303,6 +1319,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_centroids": o.GEO_CENTROIDS,
         "geo_tiles": o.GEO_TILES,
         "geo_tile_stats": o.TILE_STATS,
+        "geo_cell_hierarchy": o.GEO_CELL_HIERARCHY,
         "geo_range_join": o.GEO_RANGE_JOIN,
         "geo_pip": o.GEO_PIP,
         "geo_knn_spatial": o.GEO_KNN,

@@ -420,3 +420,47 @@ def range_join(props: ray.data.Dataset, d: float = 8.0,
 
     from engine.dedup import _dedup_keyed_rows
     return _dedup_keyed_rows(cand, ["a_id", "b_id"])
+
+
+def cell_hierarchy(props: ray.data.Dataset, res: int = 11,
+                   parent_res: int = 8) -> ray.data.Dataset:
+    """Multi-resolution cell rollup (the hierarchical half of the H3/S2
+    index story: cell_to_parent + group-by-parent): the res-``res`` tile
+    cover of every footprint rolled up to ``parent_res`` ancestors, with
+    per-parent distinct-child-cell and assignment counts.
+
+    Combiner shape: each batch covers its footprints and collapses to
+    (cell -> n) locally, one groupby(cell) merges block partials, the
+    parent is derived by bit arithmetic (no second explode), and a final
+    groupby(parent) reduces #child-cells rows — both shuffles carry tiny
+    pre-aggregated tables, never the cover explode.  All-integer, so the
+    whole table replicates in SQL."""
+    from ray.data.aggregate import Count, Sum
+    cs = cells.cell_size(res)
+    shift = res - parent_res
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x0 = batch.column("x0").to_numpy()
+        y0 = batch.column("y0").to_numpy()
+        w = batch.column("bounding_box_width").to_numpy()
+        l = batch.column("bounding_box_length").to_numpy()
+        row_idx, ix, iy = _batch_cover(x0, y0, x0 + w, y0 + l, cs)
+        u, n = np.unique(cells.encode(res, ix, iy), return_counts=True)
+        return pa.table({"cell": pa.array(u, type=pa.int64()),
+                         "n": pa.array(n.astype(np.int64))})
+
+    per_cell = props.map_batches(partial, batch_format="pyarrow") \
+        .groupby("cell").aggregate(Sum("n", alias_name="n"))
+
+    def parentify(b: pa.Table) -> pa.Table:
+        cell = b.column("cell").to_numpy()
+        return pa.table({
+            "parent_cell": pa.array(cells.parent(cell, parent_res),
+                                    type=pa.int64()),
+            "n": b.column("n"),
+        })
+
+    return per_cell.map_batches(parentify, batch_format="pyarrow") \
+        .groupby("parent_cell").aggregate(
+            Count(alias_name="n_cells"),
+            Sum("n", alias_name="n_assignments"))

@@ -198,3 +198,28 @@ def test_bkafi_std_criterion():
     imp = [("area_ratio", 0.9), ("height_diff_ratio", 0.5), ("volume_ratio", 0.1)]
     assert select_blocking_features(imp, ratios, 2, "std") == ["volume", "area"]
     assert select_blocking_features(imp, ratios, 2) == ["area", "height_diff"]
+
+
+def test_query_oracle_registry_consistency():
+    """Every oracle_sql key names a registered query; every query is
+    callable; the driver-facing registries stay in sync."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "_entry", os.path.join(os.path.dirname(__file__), "..",
+                               "__ray_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs, osql = mod.queries(), mod.oracle_sql()
+    assert set(osql) <= set(qs), set(osql) - set(qs)
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper()
+               for s in osql.values())
+    # the declared rows-only set stays the documented one
+    rows_only = set(qs) - set(osql)
+    assert rows_only <= {
+        "contamination_retrain", "contrastive_matching",
+        "geo_blocking_recall_grid", "geo_blocking_recall_std",
+        "geo_contamination", "geo_match", "geo_match_concat",
+        "geo_properties_all", "geo_render", "matching_models_eval",
+        "media_frames", "media_resize", "multimodal_real", "sim_knn_ivf",
+    }, rows_only - {"..."}

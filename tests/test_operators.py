@@ -39,6 +39,23 @@ def test_cover_bbox():
     assert len(got) == 2  # crosses one x boundary
 
 
+def test_cell_parent_children_roundtrip():
+    c = cells.cell_of([1000.0, 65000.0], [2000.0, 131000.0], 11)
+    p = cells.parent(c, 8)
+    r, ix, iy = cells.decode(p)
+    assert (r == 8).all()
+    # parent contains the point at the coarser res
+    assert (p == cells.cell_of([1000.0, 65000.0], [2000.0, 131000.0], 8)).all()
+    # children of the parent, refined back down, cover the original cell
+    kids = cells.children(int(p[0]))
+    assert len(kids) == 4 and len(set(kids.tolist())) == 4
+    assert (cells.parent(kids, 8) == p[0]).all()
+    # three levels down then back up is identity
+    assert (cells.parent(cells.parent(c, 9), 8) == p).all()
+    with pytest.raises(ValueError):
+        cells.parent(p, 11)
+
+
 def test_span_fingerprint_detects_mutation():
     spans = [[{"kind": "text", "text": "a", "media_ref": "", "offset": 0},
               {"kind": "geom", "text": "{}", "media_ref": "", "offset": 1}]]
