@@ -66,6 +66,16 @@ def run_bench() -> dict:
     n_trials = int(os.environ.get(
         "BENCH_TRIALS", "3" if os.environ.get("BENCH_FAST") == "1" else "2"))
     task_cpus = float(os.environ.get("GEO_PIPE_TASK_CPUS", "0")) or None
+    if os.environ.get("BENCH_WARMUP") == "1":
+        # One untimed execution per side (symmetric): Ray worker-process
+        # spawn + module import + first-touch page faults happen here, so
+        # the timed trials measure steady-state throughput — the regime a
+        # multi-hour 100 TB job actually runs in.  The 32-cpu side spawns
+        # 4x the workers of the 8-cpu side, so WITHOUT this the warmup tax
+        # lands asymmetrically on the wide side of a scaling pair.
+        matching_inference_pipeline(
+            docs, state, concurrency=max(2, num_cpus - 2),
+            num_cpus_per_task=task_cpus).count()
     trials = []
     for _ in range(n_trials):
         t0 = time.time()
@@ -124,7 +134,7 @@ def _scaling_pair(lo: int, hi: int, n_cands: int | None = None) -> dict:
     out = {}
     for ncpu in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_FAST="1",
-                   BENCH_CACHE_STATE="1")
+                   BENCH_CACHE_STATE="1", BENCH_WARMUP="1")
         if n_cands:
             env["GEO_BENCH_CANDS"] = str(n_cands)
             env.setdefault("BENCH_TRIALS", "2")  # keep the small pair short

@@ -323,6 +323,55 @@ def prepare_state(sf_dir: str, n_cands: int | None = None, seed: int = 1,
     return state
 
 
+FUSED_TILE, FUSED_CHUNK = 64, 4096  # L2-resident distance tiles (blocking.py)
+
+
+def fused_apply_batch(batch: pa.Table, s: dict, idx_sq: np.ndarray,
+                      log_transform: bool) -> pa.Table:
+    """The fused per-batch work: parse + 25 properties -> scale -> kNN ->
+    ratio features -> classify.  Module-level (not a closure) so the
+    hardware-envelope control (jobs/envelope_control.py) can run EXACTLY
+    this function under bare multiprocessing — no Ray, no object store —
+    and bound what any scheduler could achieve on this host."""
+    import pyarrow.compute as pc
+    out = _props_batch(batch, log_transform)
+    out = out.filter(pc.equal(out.column("source"), pa.scalar("cands")))
+    if out.num_rows == 0:
+        return pa.table({
+            "cand_id": pa.array([], type=pa.string()),
+            "index_id": pa.array([], type=pa.string()),
+            "rank": pa.array([], type=pa.int32()),
+            "dist": pa.array([], type=pa.float64()),
+            "label": pa.array([], type=pa.int8()),
+            "pred": pa.array([], type=pa.int8()),
+        })
+    ids_num = pc.cast(out.column("doc_id"), pa.int64()).to_numpy()
+    P = np.column_stack([out.column(c).to_numpy() for c in PROPERTY_NAMES])
+    Xs = ((P[:, s["feat_idx"]] - s["med"]) / s["iqr"]).astype(np.float32)
+    top, dist = blk.topk_l2_f32(Xs, s["idx_scaled"], idx_sq,
+                                s["idx_num"], s["k"],
+                                tile=FUSED_TILE, chunk=FUSED_CHUNK)
+    n, kk = top.shape
+    cand_rep = np.repeat(np.arange(n), kk)
+    flat = top.ravel()
+    feats = ratio_features(P[cand_rep], s["idx_props"][flat])
+    pred = s["matcher"].predict(feats)
+    # numeric ids end to end: the label compare and the string columns
+    # are vectorized int64 ops / Arrow casts — no per-pair Python
+    # string objects ride through the allocator
+    cand_num = np.repeat(ids_num, kk)
+    index_num = s["idx_num"][flat]
+    label = (cand_num == index_num).astype(np.int8)
+    return pa.table({
+        "cand_id": pc.cast(pa.array(cand_num), pa.string()),
+        "index_id": pc.cast(pa.array(index_num), pa.string()),
+        "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int32), n)),
+        "dist": pa.array(dist.ravel().astype(np.float64), type=pa.float64()),
+        "label": pa.array(label, type=pa.int8()),
+        "pred": pa.array(pred.astype(np.int8), type=pa.int8()),
+    })
+
+
 def matching_inference_pipeline(docs: ray.data.Dataset, state: dict,
                                 concurrency: int = 8,
                                 num_cpus_per_task: float | None = None
@@ -345,52 +394,13 @@ def matching_inference_pipeline(docs: ray.data.Dataset, state: dict,
     worker_cache: dict = {}
     log_transform = bool(state.get("log_transform", False))
 
-    TILE, CHUNK = 64, 4096  # L2-resident distance tiles (see blocking.py)
-
     def fused(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         if "s" not in worker_cache:
             s = ray.get(state_ref)
             worker_cache["s"] = s
             worker_cache["idx_sq"] = (s["idx_scaled"] * s["idx_scaled"]).sum(1)
-        s = worker_cache["s"]
-        idx_sq = worker_cache["idx_sq"]
-        out = _props_batch(batch, log_transform)
-        out = out.filter(pc.equal(out.column("source"), pa.scalar("cands")))
-        if out.num_rows == 0:
-            return pa.table({
-                "cand_id": pa.array([], type=pa.string()),
-                "index_id": pa.array([], type=pa.string()),
-                "rank": pa.array([], type=pa.int32()),
-                "dist": pa.array([], type=pa.float64()),
-                "label": pa.array([], type=pa.int8()),
-                "pred": pa.array([], type=pa.int8()),
-            })
-        ids_num = pc.cast(out.column("doc_id"), pa.int64()).to_numpy()
-        P = np.column_stack([out.column(c).to_numpy() for c in PROPERTY_NAMES])
-        Xs = ((P[:, s["feat_idx"]] - s["med"]) / s["iqr"]).astype(np.float32)
-        top, dist = blk.topk_l2_f32(Xs, s["idx_scaled"], idx_sq,
-                                    s["idx_num"], s["k"],
-                                    tile=TILE, chunk=CHUNK)
-        n, kk = top.shape
-        cand_rep = np.repeat(np.arange(n), kk)
-        flat = top.ravel()
-        feats = ratio_features(P[cand_rep], s["idx_props"][flat])
-        pred = s["matcher"].predict(feats)
-        # numeric ids end to end: the label compare and the string columns
-        # are vectorized int64 ops / Arrow casts — no per-pair Python
-        # string objects ride through the allocator
-        cand_num = np.repeat(ids_num, kk)
-        index_num = s["idx_num"][flat]
-        label = (cand_num == index_num).astype(np.int8)
-        return pa.table({
-            "cand_id": pc.cast(pa.array(cand_num), pa.string()),
-            "index_id": pc.cast(pa.array(index_num), pa.string()),
-            "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int32), n)),
-            "dist": pa.array(dist.ravel().astype(np.float64), type=pa.float64()),
-            "label": pa.array(label, type=pa.int8()),
-            "pred": pa.array(pred.astype(np.int8), type=pa.int8()),
-        })
+        return fused_apply_batch(batch, worker_cache["s"],
+                                 worker_cache["idx_sq"], log_transform)
 
     kwargs = {}
     if num_cpus_per_task:
