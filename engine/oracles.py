@@ -1146,6 +1146,20 @@ WHERE md5_number_upper('sample|1|' || doc_id) % 1000000 <
       CASE WHEN lang = 'en' THEN 250000 ELSE 750000 END
 """
 
+# Per-group reservoir sample (engine/text.py reservoir_per_group,
+# group=lang, k=50, seed=1): the k smallest md5 ranks per language;
+# md5_number_upper('res|1|' || doc_id) == the engine's stable_hash64.
+RESERVOIR_SAMPLE = """
+WITH r AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5_number_upper('res|1|' || doc_id), doc_id) AS rank
+  FROM documents
+)
+SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 50
+"""
+
 # Benchmark n-gram decontamination (engine/dedup.py decontaminate, n=3,
 # benchmark = doc_id % 97 == 0): distinct-3-gram semi-join counts; docs
 # shorter than 3 tokens have zero grams on both sides (generate_series is

@@ -1035,6 +1035,18 @@ def corpus_sample(sf_dir: str):
                                   default_rate=0.75, seed=1)
 
 
+def reservoir_sample(sf_dir: str):
+    """Deterministic per-group reservoir sample: exactly min(50, |group|)
+    docs per language, the 50 smallest stable hashes each — bounded-state
+    per-block combiner then one tiny groupby merge.  Oracle-exact
+    (md5_number_upper replicates stable_hash64; ROW_NUMBER replicates the
+    hash rank)."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"])
+    return text.reservoir_per_group(docs, group_col="lang", k=50, seed=1)
+
+
 def lm_quality(sf_dir: str):
     """Unigram LM-cost quality filter (CCNet/KenLM archetype, integer-exact
     dyadic code lengths): per-doc bits, bits-per-token, keep at 9 bits/token.
@@ -1250,6 +1262,7 @@ QUERIES = {
     "text_tokens": text_tokens,
     "quality_filter": quality_filter,
     "corpus_sample": corpus_sample,
+    "reservoir_sample": reservoir_sample,
     "mixture_sample": mixture_sample,
     "lm_quality": lm_quality,
     "decontam": decontam,
@@ -1346,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens": o.TEXT_TOKENS,
         "quality_filter": o.QUALITY_FILTER,
         "corpus_sample": o.CORPUS_SAMPLE,
+        "reservoir_sample": o.RESERVOIR_SAMPLE,
         "mixture_sample": o.MIXTURE_SAMPLE,
         "lm_quality": o.LM_QUALITY,
         "decontam": o.DECONTAM,

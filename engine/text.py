@@ -190,6 +190,42 @@ def stratified_sample(docs: ray.data.Dataset, rates: dict[str, float],
     return docs.map_batches(sample, batch_format="pyarrow")
 
 
+def reservoir_per_group(docs: ray.data.Dataset, group_col: str = "lang",
+                        k: int = 50, seed: int = 1) -> ray.data.Dataset:
+    """Deterministic per-group reservoir sample: EXACTLY min(k, |group|)
+    docs per group, chosen as the k smallest stable per-row hashes — the
+    distributed equivalent of per-stratum reservoir sampling with the RNG
+    replaced by a hash rank, so the sample is identical at any
+    parallelism/cluster size (and stable under corpus growth: a doc's
+    rank never changes, only its membership as better ranks arrive).
+
+    Physical form (the classic distributed-reservoir shape): a per-block
+    per-group PARTIAL top-k combiner (bounded state — at most k rows per
+    (block, group) survive, so the shuffle carries <= k * n_blocks rows
+    per group, never the corpus) -> one small groupby merge taking the
+    final top-k.  Output: (group, doc_id, rank 1..k by hash order)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        h = stable_hash64([f"res|{seed}|{i}" for i in ids])
+        df = pd.DataFrame({
+            group_col: batch.column(group_col).to_pylist(),
+            "doc_id": np.asarray([int(i) for i in ids], dtype=np.int64),
+            "h": h,
+        })
+        df = df.sort_values([group_col, "h", "doc_id"], kind="mergesort") \
+               .groupby(group_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[[group_col, "doc_id", "rank"]]
+
+    return docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).map_groups(final, batch_format="pandas")
+
+
 def fingerprint(docs: ray.data.Dataset, window: int = 8) -> ray.data.Dataset:
     """Rolling-hash document fingerprint: min of 64-bit rolling hashes over
     token windows (winnowing-style), plus a full-text hash."""

@@ -587,6 +587,34 @@ def test_stratified_sample_deterministic_any_parallelism(ray_session):
     assert abs(de / 1000 - 0.75) < 0.05
 
 
+def test_reservoir_per_group_exact_k_and_parallelism(ray_session):
+    """Exactly min(k, |group|) rows per group; identical sample at 1 and 8
+    partitions (hash ranks, no RNG); matches a serial pandas reference;
+    small groups are returned whole."""
+    from engine.joins import stable_hash64
+    from engine.text import reservoir_per_group
+    n = 600
+    t = pa.table({
+        "doc_id": pa.array(list(range(n)), type=pa.int64()),
+        "lang": pa.array(["en" if i % 3 else "de" for i in range(n - 5)]
+                         + ["xx"] * 5),
+    })
+    got1 = reservoir_per_group(ray.data.from_arrow(t), k=20, seed=1) \
+        .to_pandas().sort_values(["lang", "rank"]).reset_index(drop=True)
+    got8 = reservoir_per_group(ray.data.from_arrow(t).repartition(8),
+                               k=20, seed=1) \
+        .to_pandas().sort_values(["lang", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got1, got8)
+    sizes = got1.groupby("lang").size()
+    assert sizes["en"] == 20 and sizes["de"] == 20 and sizes["xx"] == 5
+    # serial reference: k smallest hashes per group, rank = hash order
+    ref = pd.DataFrame({"doc_id": t.column("doc_id").to_numpy(),
+                        "lang": t.column("lang").to_pylist()})
+    ref["h"] = stable_hash64([f"res|1|{i}" for i in ref.doc_id])
+    ref = ref.sort_values(["lang", "h", "doc_id"]).groupby("lang").head(20)
+    assert got1.doc_id.tolist() == ref.doc_id.tolist()
+
+
 def test_decontaminate_flags_shared_ngrams(ray_session):
     """A train doc sharing any distinct 3-gram with the benchmark is flagged
     with the exact overlap count; short docs have zero grams."""
