@@ -479,6 +479,30 @@ SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
+# TPC-H Q3 (engine/relational.py shipping_priority): revenue accumulated
+# as exact integer cent-basis-points (the data is 2-decimal, so
+# round(x*100) is the true integer), one final /1e4; dates as epoch us;
+# full deterministic tie-break (revenue, date, orderkey).
+SHIPPING_PRIORITY = """
+WITH r AS (
+  SELECT l_orderkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+             (100 - CAST(round(l_discount * 100) AS BIGINT))) AS cents
+  FROM lineitem
+  WHERE l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY l_orderkey
+)
+SELECT l_orderkey, cents / 10000.0 AS revenue,
+       epoch_us(o_orderdate) AS o_date_us, o_orderpriority
+FROM r
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+ORDER BY revenue DESC, o_date_us, l_orderkey
+LIMIT 10
+"""
+
 REL_EVENTS_HOURLY = """
 SELECT event_type, epoch_us(ts) // 3600000000 AS hour, COUNT(*) AS n,
        MIN(value) AS min_value, MAX(value) AS max_value

@@ -472,6 +472,13 @@ def q_top_orders(sf_dir: str):
     return relational.top_orders(sf_dir)
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (3-way star join + top-k): segment custkeys broadcast,
+    per-block revenue combiner, bucketed orderkey join, distributed top-10.
+    Integer-cents revenue, so oracle-exact."""
+    return relational.shipping_priority(sf_dir)
+
+
 def q_events_hourly(sf_dir: str):
     return relational.events_hourly(sf_dir)
 
@@ -1246,6 +1253,7 @@ QUERIES = {
     "q_lineitem_agg": q_lineitem_agg,
     "q_orders_by_nation": q_orders_by_nation,
     "q_top_orders": q_top_orders,
+    "q_shipping_priority": q_shipping_priority,
     "q_events_hourly": q_events_hourly,
     "q_customers_with_orders": q_customers_with_orders,
     "q_customers_bloom": q_customers_bloom,
@@ -1343,6 +1351,7 @@ def oracle_sql() -> dict[str, str]:
         "q_lineitem_agg": o.REL_LINEITEM_AGG,
         "q_orders_by_nation": o.REL_ORDERS_BY_NATION,
         "q_top_orders": o.REL_TOP_ORDERS,
+        "q_shipping_priority": o.SHIPPING_PRIORITY,
         "q_events_hourly": o.REL_EVENTS_HOURLY,
         "q_customers_with_orders": o.REL_CUSTOMERS_WITH_ORDERS,
         "q_customers_bloom": o.REL_CUSTOMERS_WITH_ORDERS,

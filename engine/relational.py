@@ -297,3 +297,87 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
 
     return ds.map_batches(tag, batch_format="pyarrow") \
         .groupby("__b").map_groups(sess_bucket, batch_format="pandas")
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-01-01",
+                      k: int = 10) -> ray.data.Dataset:
+    """TPC-H Q3 shape — the canonical 3-way star join + top-k:
+    customer(segment) ⋉ orders(date < cutoff) ⋈ lineitem(ship > cutoff),
+    revenue per order, global top-k by revenue.
+
+    Scale plan: the segment's custkey set is the dimension side —
+    broadcast once (``broadcast_semi_join``), never shuffled; lineitem
+    revenue pre-aggregates per (block, orderkey) BEFORE its one groupby
+    (the combiner pattern — the shuffle carries one row per distinct
+    orderkey per block, not per lineitem); orders ⋈ revenue is a
+    bucketed hash join on the int64 orderkey; the final distributed sort
+    ships k rows to the driver.
+
+    Exactness: revenue accumulates as integer "cent-basis-points"
+    (rint(price*100) * (100 - rint(disc*100)) — both factors are exact
+    integers since the data is 2-decimal), so the sum is
+    order-insensitive; the single final division by 1e4 is one IEEE op
+    the oracle replicates.  Dates are compared/emitted as epoch
+    microseconds."""
+    from ray.data.aggregate import Sum
+    from engine.joins import bucketed_hash_join
+
+    cut = pa.scalar(np.datetime64(cutoff, "us"))
+    seg_keys = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda b: b.filter(
+            pc.equal(b.column("c_mktsegment"), pa.scalar(segment))),
+            batch_format="pyarrow") \
+        .select_columns(["c_custkey"]).to_pandas()["c_custkey"]
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def filt_orders(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("o_orderdate").cast(pa.timestamp("us")),
+                             cut))
+        b = b.append_column("o_date_us",
+                            b.column("o_orderdate").cast(pa.timestamp("us"))
+                            .cast(pa.int64()))
+        return b.drop_columns(["o_orderdate"])
+
+    orders = broadcast_semi_join(
+        orders.map_batches(filt_orders, batch_format="pyarrow"),
+        "o_custkey", seg_keys) \
+        .select_columns(["o_orderkey", "o_date_us", "o_orderpriority"])
+
+    line = _t(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("l_shipdate")
+                                .cast(pa.timestamp("us")), cut))
+        key = b.column("l_orderkey").to_numpy()
+        cents = (np.rint(b.column("l_extendedprice").to_numpy() * 100.0)
+                 .astype(np.int64)
+                 * (100 - np.rint(b.column("l_discount").to_numpy() * 100.0)
+                    .astype(np.int64)))
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"l_orderkey": pa.array(u, type=pa.int64()),
+                         "cents": pa.array(s)})
+
+    rev = line.map_batches(rev_partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("cents", alias_name="cents"))
+
+    joined = bucketed_hash_join(rev, orders, "l_orderkey", "o_orderkey")
+
+    def finish(b: pa.Table) -> pa.Table:
+        rev_d = pc.divide(pc.cast(b.column("cents"), pa.float64()),
+                          pa.scalar(10000.0))
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "revenue": rev_d,
+            "o_date_us": b.column("o_date_us"),
+            "o_orderpriority": b.column("o_orderpriority"),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow") \
+        .sort(["revenue", "o_date_us", "l_orderkey"],
+              descending=[True, False, False]).limit(k)
