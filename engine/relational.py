@@ -301,7 +301,8 @@ def events_sessions(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
 
 def shipping_priority(sf_dir: str, segment: str = "BUILDING",
                       cutoff: str = "1998-01-01",
-                      k: int = 10) -> ray.data.Dataset:
+                      k: int = 10,
+                      strategy: str = "auto") -> ray.data.Dataset:
     """TPC-H Q3 shape — the canonical 3-way star join + top-k:
     customer(segment) ⋉ orders(date < cutoff) ⋈ lineitem(ship > cutoff),
     revenue per order, global top-k by revenue.
@@ -365,6 +366,46 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
 
     rev = line.map_batches(rev_partial, batch_format="pyarrow") \
         .groupby("l_orderkey").aggregate(Sum("cents", alias_name="cents"))
+
+    # size-aware plan (the pair_features_join pattern): the filtered
+    # orders dimension usually collapses far below the fact side — then
+    # broadcast it once (ray.put, sorted-key searchsorted lookup, no
+    # shuffle); beyond BROADCAST_MAX_SIDE_ROWS fall back to the bucketed
+    # hash join (the 10^12 path).  Identical rows either way (tested).
+    from engine.pairs import BROADCAST_MAX_SIDE_ROWS
+    if strategy == "auto":
+        strategy = "broadcast" \
+            if orders.count() <= BROADCAST_MAX_SIDE_ROWS else "join"
+
+    if strategy == "broadcast":
+        odf = orders.to_pandas().sort_values("o_orderkey")
+        side_ref = ray.put((odf.o_orderkey.to_numpy(np.int64),
+                            odf.o_date_us.to_numpy(np.int64),
+                            odf.o_orderpriority.to_numpy(object)))
+        holder: dict = {}
+
+        def join_finish(b: pa.Table) -> pa.Table:
+            if "s" not in holder:
+                holder["s"] = ray.get(side_ref)
+            okey, odate, oprio = holder["s"]
+            key = b.column("l_orderkey").to_numpy()
+            pos = np.searchsorted(okey, key)
+            pos_c = np.minimum(pos, max(len(okey) - 1, 0))
+            hit = (okey[pos_c] == key) if len(okey) else \
+                np.zeros(len(key), dtype=bool)
+            cents = b.column("cents").to_numpy()[hit]
+            pos_h = pos_c[hit]
+            return pa.table({
+                "l_orderkey": pa.array(key[hit], type=pa.int64()),
+                "revenue": pa.array(cents.astype(np.float64) / 10000.0),
+                "o_date_us": pa.array(odate[pos_h], type=pa.int64()),
+                "o_orderpriority": pa.array(oprio[pos_h].tolist(),
+                                            type=pa.string()),
+            })
+
+        return rev.map_batches(join_finish, batch_format="pyarrow") \
+            .sort(["revenue", "o_date_us", "l_orderkey"],
+                  descending=[True, False, False]).limit(k)
 
     joined = bucketed_hash_join(rev, orders, "l_orderkey", "o_orderkey")
 

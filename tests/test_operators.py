@@ -587,6 +587,18 @@ def test_stratified_sample_deterministic_any_parallelism(ray_session):
     assert abs(de / 1000 - 0.75) < 0.05
 
 
+def test_shipping_priority_strategies_equal(ray_session):
+    """The size-aware broadcast plan and the bucketed-join scale plan
+    produce identical top-k rows (TPC-H Q3 shape)."""
+    from engine.relational import shipping_priority
+    sf = "/root/testdata/sf0.001"
+    a = shipping_priority(sf, strategy="broadcast").to_pandas()
+    b = shipping_priority(sf, strategy="join").to_pandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert len(a) > 0 and a.revenue.is_monotonic_decreasing
+
+
 def test_reservoir_per_group_exact_k_and_parallelism(ray_session):
     """Exactly min(k, |group|) rows per group; identical sample at 1 and 8
     partitions (hash ranks, no RNG); matches a serial pandas reference;
