@@ -479,6 +479,16 @@ SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
+# Heavy hitters over events.user_id (engine/relational.py heavy_hitters,
+# denom=129): values with count*129 > n_total, exact counts; keys as
+# strings (the sketch's generic key type).
+EVENTS_HEAVY_HITTERS = """
+SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS c
+FROM events
+GROUP BY user_id
+HAVING COUNT(*) * 129 > (SELECT COUNT(*) FROM events)
+"""
+
 # TPC-H Q3 (engine/relational.py shipping_priority): revenue accumulated
 # as exact integer cent-basis-points (the data is 2-decimal, so
 # round(x*100) is the true integer), one final /1e4; dates as epoch us;

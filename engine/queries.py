@@ -521,6 +521,17 @@ def q_events_asof(sf_dir: str):
     return relational.events_asof_join(sf_dir)
 
 
+def q_events_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy hitters over events.user_id (count*129 > n), exact
+    counts via the sketch -> tracked-undercount candidates -> exact-verify
+    pattern; only bounded sketch entries ever ride a shuffle.  Oracle-exact
+    (plain GROUP BY / HAVING)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    return relational.heavy_hitters(ds, col="user_id", denom=129,
+                                    capacity=2048)
+
+
 def geo_block_centroid(sf_dir: str):
     """Exhaustive centroid blocker (reference 'centroid' method,
     blocking.py:62-76): top-21 nearest index centroids per cand, exact
@@ -1263,6 +1274,7 @@ QUERIES = {
     "q_events_running": q_events_running,
     "q_events_sessions": q_events_sessions,
     "q_events_asof": q_events_asof,
+    "q_events_heavy_hitters": q_events_heavy_hitters,
     # independent text / similarity suites
     "text_stats": text_stats,
     "text_langid": text_langid,
@@ -1361,6 +1373,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_running": o.REL_EVENTS_RUNNING,
         "q_events_sessions": o.EVENTS_SESSIONS,
         "q_events_asof": o.REL_EVENTS_ASOF,
+        "q_events_heavy_hitters": o.EVENTS_HEAVY_HITTERS,
         "geo_block_cells": o.GEO_BLOCK_CELLS,
         "text_stats": o.TEXT_STATS,
         "text_langid": o.TEXT_LANGID,

@@ -422,3 +422,100 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
     return joined.map_batches(finish, batch_format="pyarrow") \
         .sort(["revenue", "o_date_us", "l_orderkey"],
               descending=[True, False, False]).limit(k)
+
+
+def heavy_hitters(ds: ray.data.Dataset, col: str = "user_id",
+                  denom: int = 129,
+                  capacity: int = 1024) -> ray.data.Dataset:
+    """Misra-Gries heavy hitters with exact verification: every value of
+    ``col`` whose count c satisfies ``c * denom > n_total``, with its
+    EXACT count — found without ever shuffling or collecting the full
+    key space (the bounded-memory path a 10^12-row / 10^9-key column
+    needs; a plain groupby ships every distinct key).
+
+    Shape: (1) per-block exact counts -> MG-compress to ``capacity``
+    entries (decrement by the (capacity+1)-th largest, drop <=0; the
+    per-compress decrement is emitted as a side row so total undercount
+    D is tracked, not assumed); (2) key-hash bucket groupby -> sum +
+    compress per bucket (sketch entries only ride this shuffle —
+    <= capacity rows per block); (3) driver: candidates = surviving keys
+    with est + D >= threshold (MG superset guarantee; a fully-zeroed
+    key has true count <= D).  Soundness is structural — two compress
+    levels give D <= 2n/(capacity+1), and capacity >= 8*denom makes
+    D < n/denom — and ALSO asserted at runtime, with a documented exact
+    fallback; (4) broadcast the candidate set -> exact combiner count ->
+    filter.  Output (value, c) is exact, so the oracle is plain
+    GROUP BY/HAVING SQL."""
+    from ray.data.aggregate import Count, Sum
+    from engine.joins import stable_hash64
+    import pandas as pd
+    assert capacity >= 8 * denom, "capacity >= 8*denom keeps D < n/denom"
+    B = 16
+
+    def mg_compress(keys: np.ndarray, counts: np.ndarray):
+        if len(keys) <= capacity:
+            return keys, counts, 0
+        d = np.partition(counts, len(counts) - capacity - 1)[
+            len(counts) - capacity - 1]
+        keep = counts > d
+        return keys[keep], counts[keep] - d, int(d)
+
+    def block_sketch(batch: pa.Table) -> pa.Table:
+        v = np.asarray([str(x) for x in batch.column(col).to_pylist()],
+                       dtype=object)
+        keys, counts = np.unique(v, return_counts=True)
+        keys, counts, d = mg_compress(keys, counts.astype(np.int64))
+        bucket = (stable_hash64(keys) % B).astype(np.int64)
+        return pa.table({
+            "key": pa.array(np.concatenate([keys, ["__D__"]]).tolist(),
+                            type=pa.string()),
+            "c": pa.array(np.concatenate([counts, [d]]), type=pa.int64()),
+            "b": pa.array(np.concatenate([bucket, [-1]]), type=pa.int64()),
+            "n": pa.array([batch.num_rows] * (len(keys) + 1),
+                          type=pa.int64()),
+        })
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if int(g["b"].iloc[0]) == -1:   # decrement ledger: just sum
+            return pd.DataFrame({"key": ["__D__"],
+                                 "c": [int(g["c"].sum())]})
+        s = g.groupby("key", sort=True)["c"].sum()
+        keys, counts, d = mg_compress(
+            s.index.to_numpy(dtype=object), s.to_numpy(np.int64))
+        return pd.DataFrame({"key": np.concatenate([keys, ["__D__"]]),
+                             "c": np.concatenate([counts, [d]])})
+
+    # materialize: the sketch feeds both the ledger sum and the merge —
+    # without this the source would re-execute (the table is tiny:
+    # <= capacity+1 rows per batch)
+    sk = ds.map_batches(block_sketch, batch_format="pyarrow").materialize()
+    n_total = int(sk.filter(lambda r: r["b"] == -1).sum("n") or 0)
+    merged = sk.groupby("b").map_groups(merge_bucket,
+                                        batch_format="pandas").to_pandas()
+    D = int(merged.loc[merged.key == "__D__", "c"].sum())
+    # all-integer threshold tests: report c*denom > n  <=>  c > n/denom
+    if D * denom >= n_total > 0:   # sketch saturated (can't happen with
+        cand = None                # capacity >= 8*denom; exact fallback)
+    else:
+        ent = merged[merged.key != "__D__"]
+        cand = set(ent.loc[(ent.c + D) * denom > n_total, "key"])
+    cand_ref = ray.put(cand)
+    holder: dict = {}
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        if "c" not in holder:
+            holder["c"] = ray.get(cand_ref)
+        cset = holder["c"]
+        v = np.asarray([str(x) for x in batch.column(col).to_pylist()],
+                       dtype=object)
+        if cset is not None:
+            v = v[np.fromiter((x in cset for x in v), dtype=bool,
+                              count=len(v))]
+        keys, counts = np.unique(v, return_counts=True)
+        return pa.table({col: pa.array(keys.tolist(), type=pa.string()),
+                         "c": pa.array(counts.astype(np.int64))})
+
+    exact = ds.map_batches(exact_partial, batch_format="pyarrow") \
+        .groupby(col).aggregate(Sum("c", alias_name="c"))
+    return exact.filter(
+        lambda r, n=n_total, dn=denom: r["c"] * dn > n)

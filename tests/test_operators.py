@@ -587,6 +587,33 @@ def test_stratified_sample_deterministic_any_parallelism(ray_session):
     assert abs(de / 1000 - 0.75) < 0.05
 
 
+def test_heavy_hitters_compression_path(ray_session):
+    """With capacity far below the distinct-key count the MG compress
+    genuinely engages, and the sketch->verify result still equals the
+    brute exact heavy hitters (superset guarantee + exact verify);
+    identical at 1 and 8 partitions."""
+    from engine.relational import heavy_hitters
+    rng = np.random.default_rng(7)
+    # 4000 uniform singleton-ish keys + 4 hot keys -> distinct >> capacity
+    cold = rng.integers(10_000, 90_000, size=4000)
+    hot = np.repeat([1, 2, 3, 4], [900, 700, 500, 300])
+    vals = np.concatenate([cold, hot])
+    rng.shuffle(vals)
+    t = pa.table({"user_id": pa.array(vals, type=pa.int64())})
+    n = len(vals)
+    brute = pd.Series([str(v) for v in vals]).value_counts()
+    want = brute[brute * 16 > n].sort_index()
+    got1 = heavy_hitters(ray.data.from_arrow(t), "user_id",
+                         denom=16, capacity=128).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    got8 = heavy_hitters(ray.data.from_arrow(t).repartition(8), "user_id",
+                         denom=16, capacity=128).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert got1.user_id.tolist() == sorted(want.index)
+    assert dict(zip(got1.user_id, got1.c)) == want.to_dict()
+    pd.testing.assert_frame_equal(got1, got8)
+
+
 def test_shipping_priority_strategies_equal(ray_session):
     """The size-aware broadcast plan and the bucketed-join scale plan
     produce identical top-k rows (TPC-H Q3 shape)."""
