@@ -72,6 +72,10 @@ def main() -> None:
         "GEO_BENCH_CANDS", "80000")))
     ap.add_argument("--skip-ray", action="store_true",
                     help="bare envelope only (no Ray pair)")
+    ap.add_argument("--loops", type=int, default=1,
+                    help="repeat the (bare, Ray) pairing N times in one "
+                         "invocation — paired samples across a longer "
+                         "window stretch, inputs staged once")
     args = ap.parse_args()
     lo, hi = args.widths
 
@@ -97,31 +101,33 @@ def main() -> None:
     _IDX_SQ = (state["idx_scaled"] * state["idx_scaled"]).sum(1)
     _LOG = bool(state.get("log_transform", False))
 
-    # ---- bare envelope at both widths -----------------------------------
-    bare = {w: bare_width(w, args.trials) for w in (lo, hi)}
-    thr = {w: round(n_docs / bare[w]["sec"], 1) for w in (lo, hi)}
-    result = {
-        "n_docs": n_docs, "n_batches": len(batches),
-        f"bare_docs_per_s_{lo}": thr[lo], f"bare_docs_per_s_{hi}": thr[hi],
-        f"bare_trials_{lo}": bare[lo]["trials"],
-        f"bare_trials_{hi}": bare[hi]["trials"],
-        "bare_efficiency": round(thr[hi] / (4.0 * thr[lo]), 3),
-    }
+    for _ in range(args.loops):
+        # ---- bare envelope at both widths -------------------------------
+        bare = {w: bare_width(w, args.trials) for w in (lo, hi)}
+        thr = {w: round(n_docs / bare[w]["sec"], 1) for w in (lo, hi)}
+        result = {
+            "n_docs": n_docs, "n_batches": len(batches),
+            f"bare_docs_per_s_{lo}": thr[lo],
+            f"bare_docs_per_s_{hi}": thr[hi],
+            f"bare_trials_{lo}": bare[lo]["trials"],
+            f"bare_trials_{hi}": bare[hi]["trials"],
+            "bare_efficiency": round(thr[hi] / (4.0 * thr[lo]), 3),
+        }
 
-    # ---- Ray pair, same window ------------------------------------------
-    if not args.skip_ray:
-        import bench
-        ray_pair = bench._scaling_pair(lo, hi)
-        result.update({
-            f"ray_docs_per_s_{lo}": ray_pair[f"docs_per_s_{lo}"],
-            f"ray_docs_per_s_{hi}": ray_pair[f"docs_per_s_{hi}"],
-            "ray_efficiency": ray_pair["efficiency"],
-            f"ray_over_bare_{lo}": round(
-                ray_pair[f"docs_per_s_{lo}"] / thr[lo], 3),
-            f"ray_over_bare_{hi}": round(
-                ray_pair[f"docs_per_s_{hi}"] / thr[hi], 3),
-        })
-    print(json.dumps(result))
+        # ---- Ray pair, same window --------------------------------------
+        if not args.skip_ray:
+            import bench
+            ray_pair = bench._scaling_pair(lo, hi)
+            result.update({
+                f"ray_docs_per_s_{lo}": ray_pair[f"docs_per_s_{lo}"],
+                f"ray_docs_per_s_{hi}": ray_pair[f"docs_per_s_{hi}"],
+                "ray_efficiency": ray_pair["efficiency"],
+                f"ray_over_bare_{lo}": round(
+                    ray_pair[f"docs_per_s_{lo}"] / thr[lo], 3),
+                f"ray_over_bare_{hi}": round(
+                    ray_pair[f"docs_per_s_{hi}"] / thr[hi], 3),
+            })
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
