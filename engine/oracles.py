@@ -1180,6 +1180,56 @@ WHERE md5_number_upper('sample|1|' || doc_id) % 1000000 <
       CASE WHEN lang = 'en' THEN 250000 ELSE 750000 END
 """
 
+# Composed curation pipeline (engine/queries.py curation_pipeline):
+# quality gate -> exact-dedup keep-first -> benchmark decontamination,
+# each stage the same SQL as its standalone oracle, chained as CTEs.
+CURATION_PIPELINE = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         length(text) AS n_chars
+  FROM documents
+), s AS (
+  SELECT doc_id, text, toks, len(toks) AS n_tokens,
+         n_chars - (len(toks) - 1) AS sum_len,
+         len(list_filter(toks,
+             w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS n_stop,
+         len(list_distinct(toks)) AS n_distinct
+  FROM t
+), k AS (
+  SELECT doc_id, text, toks FROM s
+  WHERE n_tokens >= 20 AND n_tokens <= 90
+    AND sum_len >= 3 * n_tokens AND sum_len <= 7 * n_tokens
+    AND n_stop >= 2 AND n_distinct * 2 >= n_tokens
+), d AS (
+  SELECT MIN(doc_id) AS doc_id FROM k GROUP BY text
+), tr AS (
+  SELECT k.doc_id, k.toks FROM k JOIN d USING (doc_id)
+  WHERE k.doc_id % 97 <> 0
+), tg0 AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+  FROM tr
+), tg AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+  FROM tg0
+), bt AS (
+  SELECT string_split(text, ' ') AS toks FROM documents
+  WHERE doc_id % 97 = 0
+), bg0 AS (
+  SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM bt
+), bg AS (
+  SELECT DISTINCT toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+  FROM bg0
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id
+), hit AS (
+  SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (g)
+)
+SELECT tr.doc_id, COALESCE(sz.n_grams, 0) AS n_grams
+FROM tr LEFT JOIN sz USING (doc_id)
+WHERE tr.doc_id NOT IN (SELECT doc_id FROM hit)
+"""
+
 # Per-group reservoir sample (engine/text.py reservoir_per_group,
 # group=lang, k=50, seed=1): the k smallest md5 ranks per language;
 # md5_number_upper('res|1|' || doc_id) == the engine's stable_hash64.

@@ -1053,6 +1053,50 @@ def corpus_sample(sf_dir: str):
                                   default_rate=0.75, seed=1)
 
 
+def curation_pipeline(sf_dir: str):
+    """End-to-end training-data curation as ONE composed streaming flow —
+    the 'a user of this engine curates a pre-training corpus' showcase:
+    Gopher quality gate (passthrough) -> exact-dedup keep-first (digest
+    combiner + 64-bucket aggregate, then a bucketed semi join back to the
+    kept stream) -> benchmark n-gram decontamination (broadcast
+    membership) -> the surviving docs' (doc_id, n_grams).  Every stage is
+    the engine's own operator; the oracle chains their SQL as CTEs.
+    Benchmark convention: doc_id % 97 == 0 (the DECONTAM oracle's)."""
+    import pyarrow.compute as pc
+    from engine import dedup
+    from engine.joins import bucketed_semi_join
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+
+    def keepers(b: pa.Table) -> pa.Table:
+        b = b.filter(b.column("keep"))
+        return b.select(["doc_id", "text"])
+
+    kept = text.quality_filter(docs, passthrough=True) \
+        .map_batches(keepers, batch_format="pyarrow")
+    firsts = dedup.exact_dedup(kept).select_columns(["doc_id"])
+    surv = bucketed_semi_join(kept, firsts, "doc_id", "doc_id",
+                              num_buckets=16)
+
+    def side(bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy()
+            is_b = (ids % 97) == 0
+            return b.filter(pa.array(is_b if bench else ~is_b))
+        return f
+
+    bench = docs.map_batches(side(True), batch_format="pyarrow")
+    train = surv.map_batches(side(False), batch_format="pyarrow")
+    flags = dedup.decontaminate(train, bench, n=3)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.invert(b.column("contaminated")))
+        return b.select(["doc_id", "n_grams"])
+
+    return flags.map_batches(finish, batch_format="pyarrow")
+
+
 def reservoir_sample(sf_dir: str):
     """Deterministic per-group reservoir sample: exactly min(50, |group|)
     docs per language, the 50 smallest stable hashes each — bounded-state
@@ -1283,6 +1327,7 @@ QUERIES = {
     "quality_filter": quality_filter,
     "corpus_sample": corpus_sample,
     "reservoir_sample": reservoir_sample,
+    "curation_pipeline": curation_pipeline,
     "mixture_sample": mixture_sample,
     "lm_quality": lm_quality,
     "decontam": decontam,
@@ -1382,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": o.QUALITY_FILTER,
         "corpus_sample": o.CORPUS_SAMPLE,
         "reservoir_sample": o.RESERVOIR_SAMPLE,
+        "curation_pipeline": o.CURATION_PIPELINE,
         "mixture_sample": o.MIXTURE_SAMPLE,
         "lm_quality": o.LM_QUALITY,
         "decontam": o.DECONTAM,

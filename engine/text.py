@@ -116,7 +116,8 @@ def quality_filter(docs: ray.data.Dataset,
                    min_tokens: int = 20, max_tokens: int = 90,
                    min_word_len: int = 3, max_word_len: int = 7,
                    min_stops: int = 2,
-                   lex_num: int = 1, lex_den: int = 2) -> ray.data.Dataset:
+                   lex_num: int = 1, lex_den: int = 2,
+                   passthrough: bool = False) -> ray.data.Dataset:
     """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1 /
     C4 heuristics), the standard pre-training curation gate:
 
@@ -131,7 +132,12 @@ def quality_filter(docs: ray.data.Dataset,
     * ``keep``          — AND of all rules
 
     Every rule is an integer comparison, so the whole table is SQL-exact.
-    Pure stateless map_batches — streams at any corpus size."""
+    Pure stateless map_batches — streams at any corpus size.
+
+    ``passthrough=True`` additionally carries the original ``text`` column
+    so downstream curation stages (dedup, decontamination) can consume the
+    keepers directly in ONE streaming composition (see
+    queries.curation_pipeline) instead of joining flags back."""
     stop = frozenset(STOPWORDS)
 
     def rules(batch: pa.Table) -> pa.Table:
@@ -152,7 +158,7 @@ def quality_filter(docs: ray.data.Dataset,
             (sum_len <= max_word_len * n_tok)
         ok_stop = n_stop >= min_stops
         ok_lex = n_dis * lex_den >= n_tok * lex_num
-        return pa.table({
+        cols = {
             "doc_id": batch.column("doc_id"),
             "n_tokens": pa.array(n_tok),
             "ok_len": pa.array(ok_len),
@@ -160,7 +166,10 @@ def quality_filter(docs: ray.data.Dataset,
             "ok_stop": pa.array(ok_stop),
             "ok_lex": pa.array(ok_lex),
             "keep": pa.array(ok_len & ok_wl & ok_stop & ok_lex),
-        })
+        }
+        if passthrough:
+            cols["text"] = batch.column("text")
+        return pa.table(cols)
 
     return docs.map_batches(rules, batch_format="pyarrow")
 

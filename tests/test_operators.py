@@ -587,6 +587,27 @@ def test_stratified_sample_deterministic_any_parallelism(ray_session):
     assert abs(de / 1000 - 0.75) < 0.05
 
 
+def test_curation_pipeline_composition(ray_session):
+    """The composed curation flow excludes exactly: quality failures,
+    non-first exact duplicates, benchmark docs, and contaminated docs —
+    and keeps everything else."""
+    from engine.queries import curation_pipeline
+    got = curation_pipeline("/root/testdata/sf0.001").to_pandas()
+    import duckdb
+    from engine import oracles
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM read_parquet("
+            "'/root/testdata/sf0.001/documents.parquet')")
+    want = con.sql(oracles.CURATION_PIPELINE).df()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    assert g.doc_id.tolist() == w.doc_id.tolist()
+    assert g.n_grams.astype(int).tolist() == w.n_grams.astype(int).tolist()
+    # structural exclusions hold
+    assert not (g.doc_id % 97 == 0).any()
+    assert len(g) > 0
+
+
 def test_heavy_hitters_compression_path(ray_session):
     """With capacity far below the distinct-key count the MG compress
     genuinely engages, and the sketch->verify result still equals the
