@@ -322,3 +322,76 @@ def audio_features(docs: ray.data.Dataset, concurrency: int = 2,
     return docs.map_batches(AudioFeatureActor, batch_format="pyarrow",
                             batch_size=batch_size,
                             concurrency=(1, concurrency))
+
+
+def _synth_video_stub(media_ref: str, n_frames: int = 8,
+                      size: int = 16) -> np.ndarray:
+    """STUB video decode (no video libs in this container — a real
+    implementation would demux + decode frames here): a deterministic
+    moving-edge clip keyed by md5(media_ref) — frame t is a size x size
+    int image split at column c_t = (c0 + t*v) % size into a hi plateau
+    (left) and lo plateau (right).  Integer-valued by construction so
+    every downstream feature is exact (SQL-replicable in closed form)."""
+    h = int.from_bytes(hashlib.md5(media_ref.encode()).digest()[:8], "little")
+    c0 = h % size
+    v = 1 + (h // 16) % 7
+    hi = 4 + (h // 512) % 8
+    lo = -(2 + (h // 65536) % 4)
+    cols = np.arange(size)
+    frames = np.empty((n_frames, size, size), dtype=np.int64)
+    for t in range(n_frames):
+        ct = (c0 + t * v) % size
+        frames[t] = np.where(cols < ct, hi, lo)[None, :]
+    return frames
+
+
+class VideoFeatureActor:
+    """Actor-pool video feature stage (the frame-level sibling of
+    ``AudioFeatureActor``): 'codec' bound once per actor, per batch the
+    REAL vectorized frame ops run on the decoded clip — per-frame sum,
+    edge-column detection (count of hi-plateau columns in the actual
+    pixel array), and temporal motion energy (L1 of consecutive frame
+    diffs, the frame-difference motion detector).  One output row per
+    (media span, frame)."""
+
+    def __init__(self, n_frames: int = 8, size: int = 16):
+        self.decode = _synth_video_stub
+        self.n_frames = n_frames
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, refs, fidx, esum, ecol, motion = [], [], [], [], [], []
+        for d, spans in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("spans").to_pylist()):
+            for s in spans:
+                if s["kind"] != "media" or not s["media_ref"]:
+                    continue
+                clip = self.decode(s["media_ref"], self.n_frames, self.size)
+                sums = clip.sum(axis=(1, 2))
+                hi = clip.max()
+                edges = (clip[:, 0, :] == hi).sum(axis=1)
+                diffs = np.abs(np.diff(clip, axis=0)).sum(axis=(1, 2))
+                for t in range(self.n_frames):
+                    ids.append(d)
+                    refs.append(s["media_ref"])
+                    fidx.append(t)
+                    esum.append(int(sums[t]))
+                    ecol.append(int(edges[t]))
+                    motion.append(0 if t == 0 else int(diffs[t - 1]))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.string()),
+            "media_ref": pa.array(refs, type=pa.string()),
+            "frame_idx": pa.array(fidx, type=pa.int64()),
+            "frame_sum": pa.array(esum, type=pa.int64()),
+            "edge_col": pa.array(ecol, type=pa.int64()),
+            "motion": pa.array(motion, type=pa.int64()),
+        })
+
+
+def video_features(docs: ray.data.Dataset, concurrency: int = 2,
+                   batch_size: int = 256) -> ray.data.Dataset:
+    """Media spans -> per-frame video features (actor pool; stub decode
+    declared, frame ops real)."""
+    return docs.map_batches(VideoFeatureActor, batch_format="pyarrow",
+                            batch_size=batch_size,
+                            concurrency=(1, concurrency))

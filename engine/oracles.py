@@ -412,6 +412,51 @@ SELECT doc_id, media_ref,
 FROM feat
 """
 
+# Per-frame video features (engine/multimodal.py _synth_video_stub +
+# video_features): the stub clip is an 8-frame 16x16 moving-edge video —
+# h = md5_number_upper(media_ref), c0 = h%16, v = 1 + (h//16)%7,
+# hi = 4 + (h//512)%8, lo = -(2 + (h//65536)%4); frame t has hi in
+# columns [0, c_t) with c_t = (c0 + t*v)%16, lo elsewhere.  frame_sum =
+# 16*(c_t*hi + (16-c_t)*lo); edge_col = c_t; motion (t>=1) flips v
+# columns without wrap else 16-v, each |hi-lo| per pixel x 16 rows.
+MEDIA_VIDEO = """
+WITH m AS (
+  SELECT doc_id AS k,
+         ((((doc_id * 1000003 + 7) % 1000000007) * 1103515245 + 54321)
+          // 9801000000 // 27) % 100 < 85 AS matched
+  FROM documents
+), docs AS (
+  SELECT CAST(k AS VARCHAR) AS doc_id, k AS ref_k FROM m
+  UNION ALL
+  SELECT CAST(k AS VARCHAR), k FROM m WHERE matched
+  UNION ALL
+  SELECT CAST(k + 10000000 AS VARCHAR), k + 10000000 FROM m
+), p AS (
+  SELECT doc_id, 'png://' || ref_k || '/0' AS media_ref,
+         CAST(md5_number_upper('png://' || ref_k || '/0') % 16
+              AS BIGINT) AS c0,
+         CAST(1 + (md5_number_upper('png://' || ref_k || '/0') // 16) % 7
+              AS BIGINT) AS v,
+         CAST(4 + (md5_number_upper('png://' || ref_k || '/0') // 512) % 8
+              AS BIGINT) AS hi,
+         -CAST(2 + (md5_number_upper('png://' || ref_k || '/0')
+                    // 65536) % 4 AS BIGINT) AS lo
+  FROM docs
+), f AS (
+  SELECT p.*, unnest(generate_series(0, 7)) AS t FROM p
+)
+SELECT doc_id, media_ref, t AS frame_idx,
+       16 * (((c0 + t * v) % 16) * hi + (16 - (c0 + t * v) % 16) * lo)
+         AS frame_sum,
+       (c0 + t * v) % 16 AS edge_col,
+       CASE WHEN t = 0 THEN 0
+            ELSE 16 * (hi - lo) *
+                 (CASE WHEN (c0 + (t - 1) * v) % 16 + v < 16
+                       THEN v ELSE 16 - v END)
+       END AS motion
+FROM f
+"""
+
 
 # percentile threshold sweep over the same exact-f64 flat-subset nn table
 # (bkafi_with_threshold.py:131-141, 232-269): thresholds replicate

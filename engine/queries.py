@@ -698,6 +698,17 @@ def media_audio(sf_dir: str):
     return audio_features(corpus_dataset(sf_dir))
 
 
+def media_video(sf_dir: str):
+    """Video modality slot: declared-stub clip decode (8-frame moving-edge
+    clip keyed by md5(media_ref) — no video libs in this container) + REAL
+    vectorized frame ops per span (per-frame sum, edge-column detection on
+    the pixel array, L1 frame-difference motion energy).  All-integer
+    frames, so every feature is exact and the oracle replicates in closed
+    form over the same md5."""
+    from engine.multimodal import video_features
+    return video_features(corpus_dataset(sf_dir))
+
+
 def geo_contamination(sf_dir: str):
     """Contamination robustness (contamination_experiments.py:67-85):
     contaminate 20% of test pair features, rescore, report flips.  Rows-only."""
@@ -1368,6 +1379,7 @@ QUERIES = {
     "media_resize": media_resize,
     "media_frames": media_frames,
     "media_audio": media_audio,
+    "media_video": media_video,
     "geo_render": geo_render,
     "geo_match": geo_match,
     "geo_blocking_recall_grid": geo_blocking_recall_grid,
@@ -1449,6 +1461,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": o.PACK_SEQUENCES,
         "multimodal_features": o.MULTIMODAL_FEATURES,
         "media_audio": o.MEDIA_AUDIO,
+        "media_video": o.MEDIA_VIDEO,
         "geo_block_embedding": o.GEO_BLOCK_EMBEDDING,
         "geo_blocking_metrics": o.GEO_BLOCKING_METRICS,
         "geo_recall_grid_exact": o.GEO_RECALL_GRID_EXACT,

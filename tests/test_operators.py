@@ -587,6 +587,41 @@ def test_stratified_sample_deterministic_any_parallelism(ray_session):
     assert abs(de / 1000 - 0.75) < 0.05
 
 
+def test_video_features_frame_ops(ray_session):
+    """The actor's REAL frame ops (sum, edge detect on pixels, L1 motion)
+    match the closed-form stub parameters, including edge wrap-around."""
+    import hashlib as _hl
+    from engine.multimodal import VideoFeatureActor, _synth_video_stub
+    from engine.schema import SPAN_TYPE
+    refs = [f"png://{i}/0" for i in range(40)]
+    spans = [[{"kind": "media", "text": "", "media_ref": r, "offset": 0}]
+             for r in refs]
+    t = pa.table({"doc_id": [str(i) for i in range(len(refs))],
+                  "spans": pa.array(spans, type=pa.list_(SPAN_TYPE))})
+    out = VideoFeatureActor()(t).to_pandas()
+    assert len(out) == len(refs) * 8
+    wrap_seen = False
+    for r in refs:
+        h = int.from_bytes(_hl.md5(r.encode()).digest()[:8], "little")
+        c0, v = h % 16, 1 + (h // 16) % 7
+        hi, lo = 4 + (h // 512) % 8, -(2 + (h // 65536) % 4)
+        rows = out[out.media_ref == r].sort_values("frame_idx")
+        for t_i in range(8):
+            ct = (c0 + t_i * v) % 16
+            row = rows.iloc[t_i]
+            assert row.edge_col == ct
+            assert row.frame_sum == 16 * (ct * hi + (16 - ct) * lo)
+            if t_i:
+                prev = (c0 + (t_i - 1) * v) % 16
+                flips = v if prev + v < 16 else 16 - v
+                wrap_seen |= prev + v >= 16
+                assert row.motion == 16 * (hi - lo) * flips
+    assert wrap_seen  # at least one ref exercised the wrap case
+    # the stub clip really is what the features claim
+    clip = _synth_video_stub(refs[0])
+    assert clip.shape == (8, 16, 16) and clip.dtype == np.int64
+
+
 def test_curation_pipeline_composition(ray_session):
     """The composed curation flow excludes exactly: quality failures,
     non-first exact duplicates, benchmark docs, and contaminated docs —
