@@ -101,32 +101,41 @@ def main() -> None:
     _IDX_SQ = (state["idx_scaled"] * state["idx_scaled"]).sum(1)
     _LOG = bool(state.get("log_transform", False))
 
-    for _ in range(args.loops):
-        # ---- bare envelope at both widths -------------------------------
-        bare = {w: bare_width(w, args.trials) for w in (lo, hi)}
-        thr = {w: round(n_docs / bare[w]["sec"], 1) for w in (lo, hi)}
-        result = {
-            "n_docs": n_docs, "n_batches": len(batches),
-            f"bare_docs_per_s_{lo}": thr[lo],
-            f"bare_docs_per_s_{hi}": thr[hi],
-            f"bare_trials_{lo}": bare[lo]["trials"],
-            f"bare_trials_{hi}": bare[hi]["trials"],
-            "bare_efficiency": round(thr[hi] / (4.0 * thr[lo]), 3),
-        }
+    import subprocess
 
-        # ---- Ray pair, same window --------------------------------------
+    def ray_width(w: int) -> float:
+        """Ray docs/s at one width (fresh process, warmup + min-of-3 —
+        the bench --scaling per-width protocol)."""
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(w), BENCH_FAST="1",
+                   BENCH_CACHE_STATE="1", BENCH_WARMUP="1")
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.dirname(
+                 os.path.abspath(__file__))), "bench.py")],
+            env=env, capture_output=True, text=True, check=True)
+        return json.loads(r.stdout.strip().splitlines()[-1])["docs_per_s"]
+
+    for _ in range(args.loops):
+        # Pair bare and Ray PER WIDTH, adjacently: the host's windows flip
+        # on minute scales, so (bare-8 | ray-8) then (bare-32 | ray-32)
+        # keeps each compared pair inside ~3 minutes — the all-bare-then-
+        # all-Ray ordering let a window flip land between the halves and
+        # poison the ratio in either direction (runs 6-9 of the recorded
+        # series).
+        result = {"n_docs": n_docs, "n_batches": len(batches)}
+        thr, rthr = {}, {}
+        for w in (lo, hi):
+            bare = bare_width(w, args.trials)
+            thr[w] = round(n_docs / bare["sec"], 1)
+            result[f"bare_docs_per_s_{w}"] = thr[w]
+            result[f"bare_trials_{w}"] = bare["trials"]
+            if not args.skip_ray:
+                rthr[w] = ray_width(w)
+                result[f"ray_docs_per_s_{w}"] = rthr[w]
+                result[f"ray_over_bare_{w}"] = round(rthr[w] / thr[w], 3)
+        result["bare_efficiency"] = round(thr[hi] / (4.0 * thr[lo]), 3)
         if not args.skip_ray:
-            import bench
-            ray_pair = bench._scaling_pair(lo, hi)
-            result.update({
-                f"ray_docs_per_s_{lo}": ray_pair[f"docs_per_s_{lo}"],
-                f"ray_docs_per_s_{hi}": ray_pair[f"docs_per_s_{hi}"],
-                "ray_efficiency": ray_pair["efficiency"],
-                f"ray_over_bare_{lo}": round(
-                    ray_pair[f"docs_per_s_{lo}"] / thr[lo], 3),
-                f"ray_over_bare_{hi}": round(
-                    ray_pair[f"docs_per_s_{hi}"] / thr[hi], 3),
-            })
+            result["ray_efficiency"] = round(rthr[hi] / (4.0 * rthr[lo]), 3)
         print(json.dumps(result), flush=True)
 
 
