@@ -524,6 +524,19 @@ SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
+# Interval (band) self join (engine/relational.py events_interval_join,
+# ±30 min inclusive): every unordered same-user event pair within the
+# window, once (a_id < b_id); signed gap b - a in microseconds.
+EVENTS_INTERVAL = """
+SELECT a.event_id AS a_id, b.event_id AS b_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND b.ts >= a.ts - INTERVAL 30 MINUTE
+ AND b.ts <= a.ts + INTERVAL 30 MINUTE
+"""
+
 # Heavy hitters over events.user_id (engine/relational.py heavy_hitters,
 # denom=129): values with count*129 > n_total, exact counts; keys as
 # strings (the sketch's generic key type).

@@ -521,6 +521,14 @@ def q_events_asof(sf_dir: str):
     return relational.events_asof_join(sf_dir)
 
 
+def q_events_interval(sf_dir: str):
+    """Interval (band) self join: every unordered same-user event pair
+    within ±30 min — hash-bucket co-partition + one vectorized
+    rank-composite searchsorted window match per bucket (no per-row loop,
+    no cross product).  All-integer gap, oracle-exact."""
+    return relational.events_interval_join(sf_dir)
+
+
 def q_events_heavy_hitters(sf_dir: str):
     """Misra-Gries heavy hitters over events.user_id (count*129 > n), exact
     counts via the sketch -> tracked-undercount candidates -> exact-verify
@@ -1330,6 +1338,7 @@ QUERIES = {
     "q_events_sessions": q_events_sessions,
     "q_events_asof": q_events_asof,
     "q_events_heavy_hitters": q_events_heavy_hitters,
+    "q_events_interval": q_events_interval,
     # independent text / similarity suites
     "text_stats": text_stats,
     "text_langid": text_langid,
@@ -1431,6 +1440,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_sessions": o.EVENTS_SESSIONS,
         "q_events_asof": o.REL_EVENTS_ASOF,
         "q_events_heavy_hitters": o.EVENTS_HEAVY_HITTERS,
+        "q_events_interval": o.EVENTS_INTERVAL,
         "geo_block_cells": o.GEO_BLOCK_CELLS,
         "text_stats": o.TEXT_STATS,
         "text_langid": o.TEXT_LANGID,

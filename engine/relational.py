@@ -519,3 +519,63 @@ def heavy_hitters(ds: ray.data.Dataset, col: str = "user_id",
         .groupby(col).aggregate(Sum("c", alias_name="c"))
     return exact.filter(
         lambda r, n=n_total, dn=denom: r["c"] * dn > n)
+
+
+def events_interval_join(sf_dir: str,
+                         window_minutes: int = 30) -> ray.data.Dataset:
+    """Interval (band) self join: every unordered pair of SAME-USER events
+    within ``window_minutes`` of each other — the event-analytics band-join
+    primitive (co-visitation, burst detection, session pairing), distinct
+    from the as-of join (which keeps only one latest match).
+
+    Physical plan: ONE hash-bucket co-partition by user (groupby shuffle),
+    then a fully vectorized per-bucket window match — rows sorted by
+    (user, ts, event_id), timestamps rank-compressed (monotone, so
+    per-user order survives), and each row's matching span found by ONE
+    searchsorted on the composite key user*(L+1)+rank; pairs emitted by a
+    repeat/offset expansion and reduced to a_id < b_id so every unordered
+    pair appears exactly once.  No per-row loop, no cross product, no
+    broadcast.  Output (a_id, b_id, gap_us signed b-a) — all-integer,
+    SQL-exact."""
+    import pandas as pd
+    events = _t(sf_dir, "events", ["event_id", "ts", "user_id"])
+    B = 32
+    W = np.int64(window_minutes) * 60_000_000
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy()
+        return b.append_column("__b", pa.array((u % B).astype(np.int64)))
+
+    _EMPTY = {"a_id": pd.Series([], dtype="int64"),
+              "b_id": pd.Series([], dtype="int64"),
+              "gap_us": pd.Series([], dtype="int64")}
+
+    def band_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ukey = g["user_id"].to_numpy(np.int64)
+        ets = g["ts"].to_numpy("datetime64[us]").view(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        u_ts = np.unique(ets)
+        L = np.int64(len(u_ts) + 1)
+        comp = ukey * L + np.searchsorted(u_ts, ets)
+        rlo = np.searchsorted(u_ts, ets - W, side="left")
+        rhi = np.searchsorted(u_ts, ets + W, side="right")
+        starts = np.searchsorted(comp, ukey * L + rlo, side="left")
+        ends = np.searchsorted(comp, ukey * L + rhi, side="left")
+        counts = ends - starts
+        rep = np.repeat(np.arange(len(eid)), counts)
+        if len(rep) == 0:
+            return pd.DataFrame(_EMPTY)
+        offs = np.arange(len(rep)) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        oidx = starts[rep] + offs
+        keep = eid[rep] < eid[oidx]   # each unordered pair exactly once
+        a, b = rep[keep], oidx[keep]
+        return pd.DataFrame({
+            "a_id": eid[a],
+            "b_id": eid[b],
+            "gap_us": ets[b] - ets[a],
+        })
+
+    return events.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__b").map_groups(band_bucket, batch_format="pandas")

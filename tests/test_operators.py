@@ -587,6 +587,28 @@ def test_stratified_sample_deterministic_any_parallelism(ray_session):
     assert abs(de / 1000 - 0.75) < 0.05
 
 
+def test_interval_self_join_matches_brute(ray_session):
+    """The rank-composite band join equals the brute O(n^2) same-user
+    window join, including identical-timestamp ties, each unordered pair
+    exactly once."""
+    from engine.relational import events_interval_join
+    got = events_interval_join("/root/testdata/sf0.001", window_minutes=30) \
+        .to_pandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    m = ev.merge(ev, on="user_id", suffixes=("_a", "_b"))
+    m = m[(m.event_id_a < m.event_id_b)
+          & ((m.ts_b - m.ts_a).abs() <= pd.Timedelta(minutes=30))]
+    want = pd.DataFrame({
+        "a_id": m.event_id_a.to_numpy(),
+        "b_id": m.event_id_b.to_numpy(),
+        "gap_us": (m.ts_b.to_numpy("datetime64[us]").view("int64")
+                   - m.ts_a.to_numpy("datetime64[us]").view("int64")),
+    }).sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 0
+
+
 def test_video_features_frame_ops(ray_session):
     """The actor's REAL frame ops (sum, edge detect on pixels, L1 motion)
     match the closed-form stub parameters, including edge wrap-around."""
