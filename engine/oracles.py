@@ -524,6 +524,43 @@ SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
+# Exact grouped percentiles (engine/relational.py events_quantiles):
+# np.percentile's virtual-index + lerp arithmetic per event_type —
+# rank-k values of a multiset are order-unambiguous, so the window
+# row_number replicates the engine's weighted distribution bit-for-bit.
+EVENTS_QUANTILES = """
+WITH o AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) - 1
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), qs AS (SELECT unnest([25.0, 50.0, 75.0]) AS q),
+v AS (
+  SELECT DISTINCT o.event_type, o.n, qs.q,
+         (qs.q / 100.0) * (o.n - 1) AS virt
+  FROM o CROSS JOIN qs
+), ab AS (
+  SELECT v.event_type, v.q, v.virt - floor(v.virt) AS t,
+         oa.value AS a, ob.value AS b
+  FROM v
+  JOIN o oa ON oa.event_type = v.event_type
+           AND oa.rn = CAST(floor(v.virt) AS BIGINT)
+  JOIN o ob ON ob.event_type = v.event_type
+           AND ob.rn = LEAST(CAST(floor(v.virt) AS BIGINT) + 1, v.n - 1)
+), r AS (
+  SELECT event_type, q,
+         CASE WHEN t >= 0.5 THEN b - (b - a) * (1 - t)
+              ELSE a + (b - a) * t END AS val
+  FROM ab
+)
+SELECT event_type,
+       MAX(CASE WHEN q = 25.0 THEN val END) AS q25,
+       MAX(CASE WHEN q = 50.0 THEN val END) AS median,
+       MAX(CASE WHEN q = 75.0 THEN val END) AS q75
+FROM r GROUP BY event_type
+"""
+
 # Interval (band) self join (engine/relational.py events_interval_join,
 # ±30 min inclusive): every unordered same-user event pair within the
 # window, once (a_id < b_id); signed gap b - a in microseconds.

@@ -529,6 +529,13 @@ def q_events_interval(sf_dir: str):
     return relational.events_interval_join(sf_dir)
 
 
+def q_events_quantiles(sf_dir: str):
+    """Exact grouped percentiles (q25/median/q75 of value per event_type)
+    via the distributed value-histogram combiner + np.percentile-exact
+    weighted lerp.  Oracle-exact (window-SQL rank arithmetic)."""
+    return relational.events_quantiles(sf_dir)
+
+
 def q_events_heavy_hitters(sf_dir: str):
     """Misra-Gries heavy hitters over events.user_id (count*129 > n), exact
     counts via the sketch -> tracked-undercount candidates -> exact-verify
@@ -1339,6 +1346,7 @@ QUERIES = {
     "q_events_asof": q_events_asof,
     "q_events_heavy_hitters": q_events_heavy_hitters,
     "q_events_interval": q_events_interval,
+    "q_events_quantiles": q_events_quantiles,
     # independent text / similarity suites
     "text_stats": text_stats,
     "text_langid": text_langid,
@@ -1441,6 +1449,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_asof": o.REL_EVENTS_ASOF,
         "q_events_heavy_hitters": o.EVENTS_HEAVY_HITTERS,
         "q_events_interval": o.EVENTS_INTERVAL,
+        "q_events_quantiles": o.EVENTS_QUANTILES,
         "geo_block_cells": o.GEO_BLOCK_CELLS,
         "text_stats": o.TEXT_STATS,
         "text_langid": o.TEXT_LANGID,

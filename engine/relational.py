@@ -579,3 +579,51 @@ def events_interval_join(sf_dir: str,
 
     return events.map_batches(tag, batch_format="pyarrow") \
         .groupby("__b").map_groups(band_bucket, batch_format="pandas")
+
+
+def events_quantiles(sf_dir: str,
+                     qs: tuple = (25.0, 50.0, 75.0)) -> ray.data.Dataset:
+    """Exact per-group quantiles (q25 / median / q75 of value per
+    event_type) — the grouped-percentile aggregate, computed with the
+    engine's distributed value-histogram shape (the RobustScaler stats
+    pattern, blocking.robust_scale_stats_ds): per-block (group, value,
+    count) combiner partials -> merged weighted distribution -> numpy's
+    exact virtual-index + lerp arithmetic per group
+    (blocking.weighted_percentile, bit-equal to np.percentile).  Driver
+    memory is O(distinct (group, value)), never O(rows); at 10^12 rows
+    the exact histogram becomes a t-digest sketch with the same
+    two-phase shape (documented trade, as in the scaler)."""
+    import pandas as pd
+    from engine.blocking import weighted_percentile
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": batch.column("event_type").to_pylist(),
+            "value": batch.column("value").to_numpy(),
+        })
+        r = df.groupby(["event_type", "value"], as_index=False).size()
+        return pa.table({
+            "event_type": pa.array(r["event_type"].tolist(),
+                                   type=pa.string()),
+            "value": pa.array(r["value"].to_numpy(), type=pa.float64()),
+            "n": pa.array(r["size"].to_numpy().astype(np.int64)),
+        })
+
+    partials = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+    agg = partials.groupby(["event_type", "value"], as_index=False)["n"] \
+        .sum().sort_values(["event_type", "value"])
+    rows = []
+    for g, sub in agg.groupby("event_type", sort=True):
+        vals = sub["value"].to_numpy()
+        cnt = sub["n"].to_numpy()
+        rows.append((g, weighted_percentile(vals, cnt, qs[0]),
+                     weighted_percentile(vals, cnt, qs[1]),
+                     weighted_percentile(vals, cnt, qs[2])))
+    out = pa.table({
+        "event_type": pa.array([r[0] for r in rows], type=pa.string()),
+        "q25": pa.array([r[1] for r in rows], type=pa.float64()),
+        "median": pa.array([r[2] for r in rows], type=pa.float64()),
+        "q75": pa.array([r[3] for r in rows], type=pa.float64()),
+    })
+    return ray.data.from_arrow(out)

@@ -587,6 +587,21 @@ def test_stratified_sample_deterministic_any_parallelism(ray_session):
     assert abs(de / 1000 - 0.75) < 0.05
 
 
+def test_events_quantiles_match_numpy(ray_session):
+    """Grouped quantiles equal np.percentile over the collected column,
+    bit-for-bit (weighted-histogram path == dense path)."""
+    from engine.relational import events_quantiles
+    got = events_quantiles("/root/testdata/sf0.001").to_pandas() \
+        .set_index("event_type")
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_type", "value"])
+    for g, sub in ev.groupby("event_type"):
+        v = sub["value"].to_numpy()
+        assert got.loc[g, "q25"] == np.percentile(v, 25)
+        assert got.loc[g, "median"] == np.percentile(v, 50)
+        assert got.loc[g, "q75"] == np.percentile(v, 75)
+
+
 def test_interval_self_join_matches_brute(ray_session):
     """The rank-composite band join equals the brute O(n^2) same-user
     window join, including identical-timestamp ties, each unordered pair
