@@ -112,7 +112,7 @@ def run_bench() -> dict:
                  "multimodal_real", "media_audio", "geo_cell_hierarchy",
                  "reservoir_sample", "q_shipping_priority", "approx_distinct",
                  "media_video", "curation_pipeline", "q_events_heavy_hitters",
-                 "q_events_interval"):
+                 "q_events_interval", "q_events_quantiles"):
         t0 = time.time()
         out = Q.QUERIES[name](sf_dir)
         if hasattr(out, "count"):
