@@ -1443,11 +1443,15 @@ FROM r WHERE rnk <= 5
 # Gopher repetition rules (engine/text.py repetition_stats): keep flags via
 # integer cross-multiplication (dup * 10 <= 1 * n_bigrams, top * 8 <=
 # 1 * n_tokens); the two fractions are single exact int/int divisions.
+# n_tokens MUST be cast to BIGINT: DuckDB sum(BIGINT) yields HUGEINT, which
+# pandas materializes as float64 ("86.0" vs the engine's int64 "86") —
+# ==-equal but hash-different under the driver's canonicalization; this was
+# the single red row in CORRECTNESS_r04 (jobs/audit_dtypes.py finds the class).
 TEXT_REPETITION = """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ), w2 AS (
-  SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_word_n FROM
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_word_n FROM
     (SELECT doc_id, term, count(*) AS c
      FROM (SELECT doc_id, unnest(toks) AS term FROM t)
      GROUP BY doc_id, term)

@@ -1329,8 +1329,48 @@ def multimodal_features(sf_dir: str):
 # near-dup chains last.  A crash or timeout late in a long driver sweep
 # (one Ray-core ref-count race was observed at query 57/66) then costs the
 # fewest recorded results.
+# Ordering contract: the driver's correctness gate records at most ~50
+# entries per round, FIFO over this dict.  Rounds 1-4 recorded the first 50
+# keys of the old order; the 30 keys that had never received a driver row
+# (r04 positions 51-80) are promoted to the FRONT here (cheap-independent
+# first within the block), followed by text_repetition (the r04 red row,
+# re-checked after the HUGEINT->BIGINT oracle cast fix in oracles.py), so
+# that across r04+r05 every one of the 80 entries has a driver row.
 QUERIES = {
-    # independent relational suite
+    # --- block 1: the 30 entries with no driver row through r04 ---
+    "geo_threshold_sweep": geo_threshold_sweep,
+    "geo_block_cells": geo_block_cells,
+    "geo_block_embedding": geo_block_embedding,
+    "geo_blocking_metrics": geo_blocking_metrics,
+    "geo_recall_grid_exact": geo_recall_grid_exact,
+    "geo_ratio_std": geo_ratio_std,
+    "geo_blocking_dirty": geo_blocking_dirty,
+    "multimodal_features": multimodal_features,
+    "media_audio": media_audio,
+    "media_video": media_video,
+    "media_resize": media_resize,
+    "media_frames": media_frames,
+    "geo_render": geo_render,
+    "dedup_ngram": dedup_ngram,
+    "dedup_clusters": dedup_clusters,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_embedding": dedup_embedding,
+    "dedup_semantic": dedup_semantic,
+    "dedup_substring": dedup_substring,
+    "multimodal_real": multimodal_real,
+    "geo_match": geo_match,
+    "geo_blocking_recall_grid": geo_blocking_recall_grid,
+    "geo_blocking_recall_std": geo_blocking_recall_std,
+    "geo_match_concat": geo_match_concat,
+    "contrastive_matching": contrastive_matching,
+    "geo_contamination": geo_contamination,
+    "contamination_retrain": contamination_retrain,
+    "matching_models_eval": matching_models_eval,
+    # --- block 2: r04's one red row, re-checked after the oracle fix ---
+    "text_repetition": text_repetition,
+    # --- block 3: previously driver-green entries, old relative order ---
     "q_lineitem_agg": q_lineitem_agg,
     "q_orders_by_nation": q_orders_by_nation,
     "q_top_orders": q_top_orders,
@@ -1347,7 +1387,6 @@ QUERIES = {
     "q_events_heavy_hitters": q_events_heavy_hitters,
     "q_events_interval": q_events_interval,
     "q_events_quantiles": q_events_quantiles,
-    # independent text / similarity suites
     "text_stats": text_stats,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -1361,7 +1400,6 @@ QUERIES = {
     "decontam": decontam,
     "corpus_stats": corpus_stats,
     "text_tfidf": text_tfidf,
-    "text_repetition": text_repetition,
     "inverted_index": inverted_index,
     "pack_sequences": pack_sequences,
     "approx_distinct": approx_distinct,
@@ -1369,7 +1407,6 @@ QUERIES = {
     "sim_knn_lsh": sim_knn_lsh,
     "sim_knn_ivf": sim_knn_ivf,
     "dedup_exact": dedup_exact,
-    # geo: property table (one shared _props build) + spatial
     "geo_properties": geo_properties,
     "geo_properties_all": geo_properties_all,
     "geo_properties_roofs": geo_properties_roofs,
@@ -1381,40 +1418,8 @@ QUERIES = {
     "geo_pip": geo_pip,
     "geo_knn_spatial": geo_knn_spatial,
     "geo_pair_features": geo_pair_features,
-    # geo: exact blockers + trained prep consumers
     "geo_block_bkafi": geo_block_bkafi,
     "geo_block_centroid": geo_block_centroid,
-    "geo_threshold_sweep": geo_threshold_sweep,
-    "geo_block_cells": geo_block_cells,
-    "geo_block_embedding": geo_block_embedding,
-    "geo_blocking_metrics": geo_blocking_metrics,
-    "geo_recall_grid_exact": geo_recall_grid_exact,
-    "geo_ratio_std": geo_ratio_std,
-    "geo_blocking_dirty": geo_blocking_dirty,
-    "multimodal_features": multimodal_features,
-    "multimodal_real": multimodal_real,
-    "media_resize": media_resize,
-    "media_frames": media_frames,
-    "media_audio": media_audio,
-    "media_video": media_video,
-    "geo_render": geo_render,
-    "geo_match": geo_match,
-    "geo_blocking_recall_grid": geo_blocking_recall_grid,
-    "geo_blocking_recall_std": geo_blocking_recall_std,
-    "geo_match_concat": geo_match_concat,
-    "contrastive_matching": contrastive_matching,
-    "geo_contamination": geo_contamination,
-    "contamination_retrain": contamination_retrain,
-    "matching_models_eval": matching_models_eval,
-    # near-dup chains (heaviest shuffles) last
-    "dedup_ngram": dedup_ngram,
-    "dedup_clusters": dedup_clusters,
-    "dedup_minhash": dedup_minhash,
-    "dedup_simhash": dedup_simhash,
-    "dedup_simhash_pairs": dedup_simhash_pairs,
-    "dedup_embedding": dedup_embedding,
-    "dedup_semantic": dedup_semantic,
-    "dedup_substring": dedup_substring,
 }
 
 
