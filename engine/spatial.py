@@ -72,75 +72,115 @@ def tiles_dataset(props: ray.data.Dataset, res: int = 11) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 def pip_join(points: ray.data.Dataset, polygons: ray.data.Dataset,
-             res: int = 11) -> ray.data.Dataset:
+             res: int = 11, num_buckets: int = 64) -> ray.data.Dataset:
     """Join (p_id, px, py) to (doc_id, poly:list<double> [x1,y1,x2,y2,...])
     where the point is strictly inside the polygon.
 
-    Physical plan: polygons replicate to every covering cell (tiling),
-    points hash to their containing cell, one groupby(cell) shuffle
-    co-partitions, exact PIP runs per cell.  No global index.
+    Physical plan: polygons replicate to every covering cell (vectorized
+    bbox cover over the Arrow list offsets), points hash to their containing
+    cell, and BOTH sides coarsen the cell to one of ``num_buckets`` hash
+    buckets so the single groupby shuffle lands in a bounded number of
+    groups.  Grouping by raw cell was the r04 geo_pip regression: ~10^5
+    occupied cells meant ~10^5 per-group pandas invocations (23 s CPU for
+    ~1.4 s of useful PIP math).  Per bucket the exact ray-crossing
+    refinement pairs each polygon replica with its cell's points via two
+    searchsorted probes into the bucket's cell-sorted point arrays — a
+    point lives in exactly one cell and a polygon covers each cell once,
+    so no pair is tested twice.  No global index.
     """
+    import pyarrow.compute as pc
     from engine.geometry import points_in_polygon
 
+    cs = cells.cell_size(res)
+
+    def _bucket(cell: np.ndarray) -> np.ndarray:
+        mixed = cell.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return ((mixed >> np.uint64(33)) % np.uint64(num_buckets)) \
+            .astype(np.int64)
+
     def poly_cells(batch: pa.Table) -> pa.Table:
-        out_pid, out_cell, out_poly = [], [], []
-        polys = batch.column("poly").to_pylist()
-        ids = batch.column("doc_id").to_pylist()
-        for doc_id, flat in zip(ids, polys):
-            xs, ys = np.asarray(flat[0::2]), np.asarray(flat[1::2])
-            for cell in cells.cover_bbox(xs.min(), ys.min(), xs.max(), ys.max(), res):
-                out_pid.append(doc_id)
-                out_cell.append(int(cell))
-                out_poly.append(flat)
+        arr = batch.column("poly")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        # coordinates come in (x, y) pairs, so every list length — and
+        # therefore every offset — is even: global even/odd striding is the
+        # per-vertex x/y split.
+        xs, ys = flat[0::2], flat[1::2]
+        starts = offs[:-1] // 2
+        if len(starts):
+            xmin = np.minimum.reduceat(xs, starts)
+            xmax = np.maximum.reduceat(xs, starts)
+            ymin = np.minimum.reduceat(ys, starts)
+            ymax = np.maximum.reduceat(ys, starts)
+        else:
+            xmin = xmax = ymin = ymax = np.empty(0, dtype=np.float64)
+        row_idx, ix, iy = _batch_cover(xmin, ymin, xmax, ymax, cs)
+        cell = np.asarray(cells.encode(res, ix, iy), dtype=np.int64)
+        take = pa.array(row_idx, type=pa.int64())
+        n = len(row_idx)
         return pa.table({
-            "doc_id": pa.array(out_pid, type=pa.string()),
-            "cell": pa.array(out_cell, type=pa.int64()),
-            "poly": pa.array(out_poly, type=pa.list_(pa.float64())),
-            "p_id": pa.nulls(len(out_pid), type=pa.int64()),
-            "px": pa.nulls(len(out_pid), type=pa.float64()),
-            "py": pa.nulls(len(out_pid), type=pa.float64()),
-            "side": pa.array(["poly"] * len(out_pid)),
+            "doc_id": pc.take(batch.column("doc_id"), take),
+            "cell": pa.array(cell, type=pa.int64()),
+            "__b": pa.array(_bucket(cell)),
+            "poly": arr.take(take),
+            "p_id": pa.nulls(n, type=pa.int64()),
+            "px": pa.nulls(n, type=pa.float64()),
+            "py": pa.nulls(n, type=pa.float64()),
+            "side": pa.array(np.ones(n, dtype=np.int8)),
         })
 
     def point_cells(batch: pa.Table) -> pa.Table:
         px = batch.column("px").to_numpy()
         py = batch.column("py").to_numpy()
-        cell = cells.cell_of(px, py, res)
+        cell = np.asarray(cells.cell_of(px, py, res), dtype=np.int64)
         n = len(px)
         return pa.table({
             "doc_id": pa.nulls(n, type=pa.string()),
             "cell": pa.array(cell, type=pa.int64()),
+            "__b": pa.array(_bucket(cell)),
             "poly": pa.nulls(n, type=pa.list_(pa.float64())),
             "p_id": batch.column("p_id"),
             "px": batch.column("px"),
             "py": batch.column("py"),
-            "side": pa.array(["pt"] * n),
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
         })
 
     tagged = polygons.map_batches(poly_cells, batch_format="pyarrow").union(
         points.map_batches(point_cells, batch_format="pyarrow"))
 
     def local_pip(g: pd.DataFrame) -> pd.DataFrame:
-        pts = g[g["side"] == "pt"]
-        pls = g[g["side"] == "poly"]
+        side = g["side"].to_numpy()
+        pts = g[side == 0]
+        pls = g[side == 1]
         if pts.empty or pls.empty:
             return pd.DataFrame({"p_id": pd.Series([], dtype="int64"),
                                  "doc_id": pd.Series([], dtype="object")})
-        px = pts["px"].to_numpy()
-        py = pts["py"].to_numpy()
-        pid = pts["p_id"].to_numpy()
+        order = np.argsort(pts["cell"].to_numpy(), kind="stable")
+        pcell = pts["cell"].to_numpy()[order]
+        px = pts["px"].to_numpy()[order]
+        py = pts["py"].to_numpy()[order]
+        pid = pts["p_id"].to_numpy()[order]
+        plcell = pls["cell"].to_numpy()
+        lo = np.searchsorted(pcell, plcell, side="left")
+        hi = np.searchsorted(pcell, plcell, side="right")
+        keep = np.nonzero(hi > lo)[0]
         out_p, out_d = [], []
-        for doc_id, flat in zip(pls["doc_id"], pls["poly"]):
-            flat = np.asarray(flat)
+        doc_ids = pls["doc_id"].to_numpy()
+        polys = pls["poly"].to_numpy()
+        for j in keep:
+            flat = np.asarray(polys[j])
             poly = np.stack([flat[0::2], flat[1::2]], axis=1)
-            m = points_in_polygon(px, py, poly)
+            s, e = lo[j], hi[j]
+            m = points_in_polygon(px[s:e], py[s:e], poly)
             if m.any():
-                out_p.extend(pid[m].tolist())
-                out_d.extend([doc_id] * int(m.sum()))
+                out_p.extend(pid[s:e][m].tolist())
+                out_d.extend([doc_ids[j]] * int(m.sum()))
         return pd.DataFrame({"p_id": pd.Series(out_p, dtype="int64"),
                              "doc_id": pd.Series(out_d, dtype="object")})
 
-    return tagged.groupby("cell").map_groups(local_pip, batch_format="pandas")
+    return tagged.groupby("__b").map_groups(local_pip, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
