@@ -448,6 +448,100 @@ def embedding_nn_dataset(cand_emb: ray.data.Dataset, index_emb: pd.DataFrame,
         topk, batch_format="pyarrow", batch_size=1024)
 
 
+# Declared broadcast bound for the embedding blocker's index side: under
+# this many rows the index matrix is one driver DataFrame + ray.put (the
+# reference's faiss-index shape); above it embedding_nn_sharded stages the
+# matrix shard-by-shard so the driver never holds the whole index.
+MAX_BROADCAST_INDEX_ROWS = 1_000_000
+
+
+def embedding_nn_sharded(cand_emb: ray.data.Dataset,
+                         index_emb: ray.data.Dataset,
+                         nn_param: int = NN_PARAM,
+                         shard_rows: int = 65536,
+                         concurrency: int = 4,
+                         exact: bool = False) -> ray.data.Dataset:
+    """Exact inner-product top-k for an index side too large to collect as
+    one broadcast DataFrame: the index embedding matrix is staged
+    shard-by-shard into the object store (driver peak memory = one shard)
+    and each cand batch folds the shards through a running tie-aware
+    (score desc, numeric id asc) top-k merge.  Sharding splits the index
+    ROWS, never the dot-product reduction, and the tie order is total, so
+    every output row is bit-identical to embedding_nn_dataset's — pinned by
+    test_operators equality.  This is still the honest exact-kNN scan; at
+    10^12 index rows route through the approximate siblings
+    (similarity.lsh_knn / ivf_knn) or blocking.cell_blocking."""
+    from engine.joins import list_column_matrix
+    feat_col = "raw" if exact else "feature"
+    shard_refs, total = [], 0
+    for b in index_emb.iter_batches(batch_size=shard_rows,
+                                    batch_format="pyarrow"):
+        iv = list_column_matrix(b.column(feat_col))
+        ids = np.asarray(b.column("doc_id").to_pylist(), dtype=object)
+        num = np.asarray(b.column("doc_id").to_pylist()).astype(np.int64)
+        inorm = b.column("norm").to_numpy(zero_copy_only=False) if exact \
+            else None
+        total += len(ids)
+        shard_refs.append(ray.put((iv, ids, num, inorm)))
+    kk = min(nn_param, total)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        cv = list_column_matrix(batch.column(feat_col))
+        n = len(cv)
+        cnorm = batch.column("norm").to_numpy(zero_copy_only=False) \
+            if exact else None
+        best_s = np.full((n, kk), -np.inf)
+        best_n = np.full((n, kk), np.iinfo(np.int64).max, dtype=np.int64)
+        best_i = np.full((n, kk), None, dtype=object)
+        rows = np.arange(n)[:, None]
+        for ref in shard_refs:
+            iv_, ids_, num_, inorm_ = ray.get(ref)
+            sim = cv @ iv_.T
+            if exact:
+                sim = sim / (cnorm[:, None] * inorm_[None, :])
+            all_s = np.concatenate([best_s, sim], axis=1)
+            all_n = np.concatenate(
+                [best_n, np.broadcast_to(num_, sim.shape)], axis=1)
+            all_i = np.concatenate(
+                [best_i, np.broadcast_to(ids_, sim.shape)], axis=1)
+            order = np.lexsort((all_n, -all_s), axis=1)[:, :kk]
+            best_s = all_s[rows, order]
+            best_n = all_n[rows, order]
+            best_i = all_i[rows, order]
+        return pa.table({
+            "cand_id": pa.array(
+                np.repeat(np.asarray(batch.column("doc_id").to_pylist(),
+                                     dtype=object), kk).tolist(),
+                type=pa.string()),
+            "index_id": pa.array(best_i.ravel().tolist(), type=pa.string()),
+            "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int32),
+                                     n)),
+            "score": pa.array(best_s.ravel(), type=pa.float64()),
+        })
+
+    return cand_emb.repartition(concurrency * 4).map_batches(
+        topk, batch_format="pyarrow", batch_size=1024)
+
+
+def embedding_nn_auto(cand_emb: ray.data.Dataset,
+                      index_emb: ray.data.Dataset,
+                      nn_param: int = NN_PARAM,
+                      exact: bool = False,
+                      max_broadcast_rows: int = MAX_BROADCAST_INDEX_ROWS,
+                      shard_rows: int = 65536) -> ray.data.Dataset:
+    """Size-gated embedding blocker (the same size-aware plan pairs.py:83
+    and relational.shipping_priority use): count the index side, collect
+    and broadcast it only under ``max_broadcast_rows``, otherwise stage it
+    shard-by-shard (bit-identical output, no O(index) driver collect)."""
+    cols = ["doc_id", "raw", "norm"] if exact else ["doc_id", "feature"]
+    proj = index_emb.select_columns(cols)
+    if proj.count() <= max_broadcast_rows:
+        return embedding_nn_dataset(cand_emb, proj.to_pandas(),
+                                    nn_param=nn_param, exact=exact)
+    return embedding_nn_sharded(cand_emb, proj, nn_param=nn_param,
+                                shard_rows=shard_rows, exact=exact)
+
+
 BLOCKER_REGISTRY = {
     "bkafi": bkafi_nn_dataset,             # feature-space kNN (actor pool)
     "centroid": centroid_nn_dataset,       # exhaustive 2D centroid L2

@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from engine.render import render_doc_png
+from engine.render import encode_png_gray, render_doc_png
 
 FEATURE_DIM = 8
 
@@ -154,15 +154,25 @@ class PatchEmbedActor:
         sources = batch.column("source").to_pylist() if has_source \
             else [""] * batch.num_rows
         ids, srcs, feats = [], [], []
-        for d, so, spans in zip(batch.column("doc_id").to_pylist(), sources,
-                                batch.column("spans").to_pylist()):
-            png = render_doc_png(spans, self.size)
-            if png is None:
-                continue
-            img = decode_png_gray(png)
-            ids.append(d)
-            srcs.append(so)
-            feats.append(self._embed(img).tolist())
+        if "png" in batch.column_names:
+            # pre-rendered bytes (the shared render_dataset materialization)
+            # — decode + embed only; identical features to the render path.
+            for d, so, png in zip(batch.column("doc_id").to_pylist(),
+                                  sources, batch.column("png").to_pylist()):
+                ids.append(d)
+                srcs.append(so)
+                feats.append(self._embed(decode_png_gray(png)).tolist())
+        else:
+            for d, so, spans in zip(batch.column("doc_id").to_pylist(),
+                                    sources,
+                                    batch.column("spans").to_pylist()):
+                png = render_doc_png(spans, self.size)
+                if png is None:
+                    continue
+                img = decode_png_gray(png)
+                ids.append(d)
+                srcs.append(so)
+                feats.append(self._embed(img).tolist())
         return pa.table({
             "doc_id": pa.array(ids, type=pa.string()),
             "source": pa.array(srcs, type=pa.string()),
@@ -184,7 +194,6 @@ def resize_png_gray(png: bytes, out_size: int) -> bytes:
     """Nearest-neighbor downsample of one of the engine's grayscale PNGs to
     (out_size, out_size), re-encoded — a real bytes->bytes media transform
     (the resize slot of a decode/extract/resize/frame-sample pipeline)."""
-    from engine.render import encode_png_gray
     img = decode_png_gray(png)
     h, w = img.shape
     yi = (np.arange(out_size) * h) // out_size
@@ -207,9 +216,15 @@ class MediaResizeActor:
         sources = batch.column("source").to_pylist() if has_source \
             else [""] * batch.num_rows
         ids, srcs, sizes_in, sizes_out, crcs = [], [], [], [], []
-        for d, so, spans in zip(batch.column("doc_id").to_pylist(), sources,
-                                batch.column("spans").to_pylist()):
-            png = render_doc_png(spans, self.in_size)
+        if "png" in batch.column_names:
+            rows = zip(batch.column("doc_id").to_pylist(), sources,
+                       batch.column("png").to_pylist())
+        else:
+            rows = ((d, so, render_doc_png(spans, self.in_size))
+                    for d, so, spans in
+                    zip(batch.column("doc_id").to_pylist(), sources,
+                        batch.column("spans").to_pylist()))
+        for d, so, png in rows:
             if png is None:
                 continue
             small = resize_png_gray(png, self.out_size)

@@ -32,6 +32,20 @@ EXACT_PROP_COLS = [
 
 _PROPS_CACHE: dict[str, ray.data.MaterializedDataset] = {}
 _FLAGSHIP_CACHE: dict[tuple, dict] = {}
+_RENDER_CACHE: dict[str, ray.data.MaterializedDataset] = {}
+
+
+def _rendered(sf_dir: str) -> ray.data.Dataset:
+    """Shared per-sf materialization of the rendered PNG bytes
+    (doc_id, source, png) — geo_render / multimodal_real / media_resize all
+    consume the same corpus renders, so the render pass (the dominant cost
+    of each) runs once per sf instead of three times.  ~1-2 KB per 64x64
+    grayscale PNG, so the materialized table is small even at bench scale."""
+    if sf_dir not in _RENDER_CACHE:
+        from engine.render import render_dataset
+        _RENDER_CACHE[sf_dir] = render_dataset(
+            corpus_dataset(sf_dir)).materialize()
+    return _RENDER_CACHE[sf_dir]
 
 
 def _flagship(sf_dir: str, k: int):
@@ -647,7 +661,7 @@ def geo_block_embedding(sf_dir: str):
     top-5 ranking with numeric-id ties — is DuckDB-oracle-checked
     bit-for-bit."""
     import pyarrow.compute as pc
-    from engine.blocking import embedding_nn_dataset
+    from engine.blocking import embedding_nn_auto
     from engine.multimodal import media_features
     feats = media_features(corpus_dataset(sf_dir)).materialize()
 
@@ -657,10 +671,10 @@ def geo_block_embedding(sf_dir: str):
                                                pa.scalar(s))),
             batch_format="pyarrow")
 
-    # cands stream; the index embedding matrix is the broadcast small side
-    index = side("index").select_columns(
-        ["doc_id", "raw", "norm"]).to_pandas()
-    return embedding_nn_dataset(side("cands"), index, nn_param=5, exact=True)
+    # cands stream; the index side broadcasts only under the declared row
+    # bound (else it stages shard-by-shard — same rows bit-for-bit)
+    return embedding_nn_auto(side("cands"), side("index"), nn_param=5,
+                             exact=True)
 
 
 def multimodal_real(sf_dir: str):
@@ -672,9 +686,12 @@ def multimodal_real(sf_dir: str):
     projection are not SQL-expressible; pinned by the planted-recall and
     codec round-trip tests."""
     import pyarrow.compute as pc
-    from engine.blocking import embedding_nn_dataset
+    from engine.blocking import embedding_nn_auto
     from engine.multimodal import patch_embeddings
-    emb = patch_embeddings(corpus_dataset(sf_dir)).materialize()
+    # decode+embed over the SHARED render materialization (_rendered) —
+    # the render pass is the dominant cost and geo_render / media_resize
+    # reuse the same bytes.
+    emb = patch_embeddings(_rendered(sf_dir)).materialize()
 
     def side(src):
         return emb.map_batches(
@@ -682,17 +699,20 @@ def multimodal_real(sf_dir: str):
                                                pa.scalar(s))),
             batch_format="pyarrow")
 
-    index = side("index").select_columns(["doc_id", "feature"]).to_pandas()
-    return embedding_nn_dataset(side("cands"), index, nn_param=5)
+    # size-gated: index broadcasts only under MAX_BROADCAST_INDEX_ROWS,
+    # else shard-staged exact top-k (bit-identical; pinned by test)
+    return embedding_nn_auto(side("cands"), side("index"), nn_param=5)
 
 
 def media_resize(sf_dir: str):
     """Media resize stage (the decode -> resize half of a media pipeline):
     render -> real PNG bytes -> stdlib decode -> nearest-neighbor 64->16
     downsample -> re-encode, actor pool; emits per-doc in/out byte sizes +
-    CRC (payloads stay in the pipeline).  Rows-only (zlib bytes)."""
+    CRC (payloads stay in the pipeline).  Rows-only (zlib bytes).  Consumes
+    the shared per-sf render materialization (_rendered) so the render pass
+    runs once across geo_render / multimodal_real / media_resize."""
     from engine.multimodal import media_resize as _mr
-    return _mr(corpus_dataset(sf_dir), out_size=16)
+    return _mr(_rendered(sf_dir), out_size=16)
 
 
 def media_frames(sf_dir: str):
@@ -1012,34 +1032,22 @@ def geo_render(sf_dir: str):
     """PNG mesh renders (the reference's K5 figure stage, utils.py:134-163 /
     generate_png_figs.py): per-doc deterministic wireframe PNG via the
     actor-pool render stage; emits (doc_id, source, png_size, png_crc) —
-    the binary payload itself stays in the pipeline.  Rows-only."""
+    the binary payload itself stays in the pipeline.  Rows-only.  Consumes
+    the shared per-sf render materialization (_rendered) so the render pass
+    runs once across geo_render / multimodal_real / media_resize."""
     import zlib as _z
 
-    from engine.render import RenderActor, render_doc_png  # noqa: F401
-    from engine.render import render_dataset
-
-    ds = corpus_dataset(sf_dir)
-
     def meta(b: pa.Table) -> pa.Table:
-        ids, srcs, sizes, crcs = [], [], [], []
-        for d, s, spans in zip(b.column("doc_id").to_pylist(),
-                               b.column("source").to_pylist(),
-                               b.column("spans").to_pylist()):
-            png = render_doc_png(spans)
-            if png is None:
-                continue
-            ids.append(d)
-            srcs.append(s)
-            sizes.append(len(png))
-            crcs.append(_z.crc32(png))
+        pngs = b.column("png").to_pylist()
         return pa.table({
-            "doc_id": pa.array(ids, type=pa.string()),
-            "source": pa.array(srcs, type=pa.string()),
-            "png_size": pa.array(sizes, type=pa.int64()),
-            "png_crc": pa.array(crcs, type=pa.int64()),
+            "doc_id": b.column("doc_id"),
+            "source": b.column("source"),
+            "png_size": pa.array([len(p) for p in pngs], type=pa.int64()),
+            "png_crc": pa.array([_z.crc32(p) for p in pngs],
+                                type=pa.int64()),
         })
 
-    return ds.map_batches(meta, batch_format="pyarrow")
+    return _rendered(sf_dir).map_batches(meta, batch_format="pyarrow")
 
 
 def text_stats(sf_dir: str):

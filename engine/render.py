@@ -96,18 +96,23 @@ class RenderActor:
         self.size = size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, pngs = [], []
-        for d, spans in zip(batch.column("doc_id").to_pylist(),
-                            batch.column("spans").to_pylist()):
+        has_source = "source" in batch.column_names
+        sources = batch.column("source").to_pylist() if has_source \
+            else [""] * batch.num_rows
+        ids, srcs, pngs = [], [], []
+        for d, so, spans in zip(batch.column("doc_id").to_pylist(), sources,
+                                batch.column("spans").to_pylist()):
             png = render_doc_png(spans, self.size)
             if png is None:
                 continue
             ids.append(d)
+            srcs.append(so)
             pngs.append(png)
-        return pa.table({
-            "doc_id": pa.array(ids, type=pa.string()),
-            "png": pa.array(pngs, type=pa.binary()),
-        })
+        out = {"doc_id": pa.array(ids, type=pa.string())}
+        if has_source:
+            out["source"] = pa.array(srcs, type=pa.string())
+        out["png"] = pa.array(pngs, type=pa.binary())
+        return pa.table(out)
 
 
 def render_dataset(docs: ray.data.Dataset, size: int = 64,

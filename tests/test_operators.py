@@ -1196,3 +1196,52 @@ def test_bloom_semi_join_exact_despite_false_positives(ray_session):
     hit = ((bm[pos // 8] >> (pos % 8).astype(np.uint8)) & 1).all(axis=1)
     assert hit.sum() <= 4 + 3  # 4 true members + at most a few FPs
     assert hit[[3, 17, 250, 299]].all()  # no false negatives, ever
+
+
+def test_embedding_nn_sharded_equals_broadcast(ray_session):
+    """embedding_nn_sharded (index staged shard-by-shard, running tie-aware
+    top-k fold) is bit-identical to embedding_nn_dataset (whole-index
+    broadcast) in both modes, including the exact-cosine path, and
+    embedding_nn_auto routes to each side of its size gate without changing
+    a row.  shard_rows is set far below the index size so the fold merges
+    several shards."""
+    import pandas as pd
+    from engine.blocking import (embedding_nn_auto, embedding_nn_dataset,
+                                 embedding_nn_sharded)
+    rng = np.random.default_rng(11)
+    n_idx, n_cand, dim = 257, 40, 12
+
+    def emb_table(n, offset):
+        raw = rng.integers(-4, 5, size=(n, dim)).astype(np.float64)
+        feat = raw / np.maximum(np.linalg.norm(raw, axis=1), 1e-12)[:, None]
+        return pa.table({
+            "doc_id": pa.array([str(offset + i) for i in range(n)]),
+            "feature": pa.array(feat.tolist(),
+                                type=pa.list_(pa.float64())),
+            "raw": pa.array(raw.tolist(), type=pa.list_(pa.float64())),
+            "norm": pa.array(np.linalg.norm(raw, axis=1)),
+        })
+
+    idx_t, cand_t = emb_table(n_idx, 0), emb_table(n_cand, 100000)
+    idx_ds = ray.data.from_arrow(idx_t).repartition(4)
+    cand_ds = ray.data.from_arrow(cand_t).repartition(3)
+
+    def norm(df):
+        return df.sort_values(["cand_id", "rank"]).reset_index(drop=True)
+
+    for exact in (False, True):
+        cols = ["doc_id", "raw", "norm"] if exact else ["doc_id", "feature"]
+        want = norm(embedding_nn_dataset(
+            cand_ds, idx_t.select(cols).to_pandas(), nn_param=7,
+            exact=exact).to_pandas())
+        got = norm(embedding_nn_sharded(
+            cand_ds, idx_ds, nn_param=7, shard_rows=48,
+            exact=exact).to_pandas())
+        pd.testing.assert_frame_equal(got, want)  # bit-identical
+        # the auto gate: broadcast route (huge bound) and sharded route
+        # (tiny bound) both reproduce the same rows
+        for bound in (10**6, 1):
+            auto = norm(embedding_nn_auto(
+                cand_ds, idx_ds, nn_param=7, exact=exact,
+                max_broadcast_rows=bound, shard_rows=48).to_pandas())
+            pd.testing.assert_frame_equal(auto, want)
