@@ -23,6 +23,8 @@ import time
 
 import ray.data
 
+from engine.storage import read_parquet_clean
+
 
 def _file_sha(path: str, cap: int = 1 << 20) -> str:
     h = hashlib.sha256()
@@ -62,7 +64,7 @@ def run_stage(root: str, stage: str, build_fn, lineage: dict | None = None,
     stage_dir = os.path.join(root, stage)
     data_dir = os.path.join(stage_dir, "data")
     if not force and is_complete(root, stage):
-        return ray.data.read_parquet(data_dir)
+        return read_parquet_clean(data_dir)
 
     os.makedirs(stage_dir, exist_ok=True)
     tmp = os.path.join(stage_dir, "data.tmp")
@@ -97,7 +99,7 @@ def run_stage(root: str, stage: str, build_fn, lineage: dict | None = None,
             "partitions": parts,
             "total_rows": sum(p["rows"] for p in parts),
         }, f, indent=1)
-    return ray.data.read_parquet(data_dir)
+    return read_parquet_clean(data_dir)
 
 
 def read_manifest(root: str, stage: str) -> dict:
@@ -173,4 +175,4 @@ def run_stage_partitioned(root: str, stage: str, part_keys: list[str],
         pdir = os.path.join(parts_root, str(k))
         files += [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
                   if f.endswith(".parquet")]
-    return ray.data.read_parquet(files)
+    return read_parquet_clean(files)

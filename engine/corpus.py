@@ -20,6 +20,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
+from engine.storage import read_parquet_clean
+
 from datagen.buildings import doc_spans, building_params, INDEX_EXTRA_OFFSET
 from engine.schema import SPAN_TYPE
 
@@ -67,7 +69,7 @@ def ensure_corpus(sf_dir: str, n_cands: int | None = None) -> str:
             lambda b: pa.table({"doc_id": pa.array(b["id"], type=pa.int64())}),
             batch_format="numpy")
     else:
-        keys = ray.data.read_parquet(
+        keys = read_parquet_clean(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
     docs = keys.map_batches(_gen_batch, batch_format="pyarrow", batch_size=512)
     tmp = out_dir + ".tmp"
@@ -112,7 +114,7 @@ def corpus_dataset(sf_dir: str, n_cands: int | None = None,
     otherwise mean a handful of tasks); block count is size-aware so small
     corpora don't pay 64 task launches."""
     path = ensure_corpus(sf_dir, n_cands)
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         path, override_num_blocks=size_aware_blocks(path, num_blocks))
 
 

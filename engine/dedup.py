@@ -945,7 +945,16 @@ def substring_dup_stats(docs: ray.data.Dataset, w: int = 8,
     equals int.from_bytes(md5(s).digest()[:8], 'little'), so both sides
     group/join on the same u64 (a collision, were one ever to occur, is
     replicated identically on both sides).  ``hash_grams=False`` keeps the
-    string path for A/B equality testing."""
+    string path for A/B equality testing.
+
+    Collision bounds, both replicated identically by the oracle: per-TOKEN
+    hashes are truncated to 48 bits (the widest that keeps every
+    token_hash x B^j product under 2^112 in the oracle's signed-128-bit
+    HUGEINT arithmetic: 2^48 x 2^64, sum of 8 < 2^115) — birthday 50% at
+    ~2^24 ~= 16.7M distinct tokens, far above any natural-language
+    vocabulary; a colliding token PAIR only conflates grams that contain
+    one of the two tokens at the same window offset.  The 64-bit rolling
+    GRAM hash then collides a given gram pair with p = 2^-64."""
     from engine.joins import bucketed_hash_join
     from ray.data.aggregate import Sum
 
@@ -981,7 +990,7 @@ def substring_dup_stats(docs: ray.data.Dataset, w: int = 8,
                     if tok not in cache:
                         cache[tok] = int.from_bytes(
                             hashlib.md5(tok.encode()).digest()[:8],
-                            "little") & 0xFFFFFFFF
+                            "little") & 0xFFFFFFFFFFFF
         hs_out = []
         for d, toks in zip(batch.column("doc_id").to_pylist(), tok_lists):
             n_pos = len(toks) - w + 1

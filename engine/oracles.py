@@ -1509,18 +1509,18 @@ DEDUP_SUBSTRING = _DUP_CORPUS + """
   SELECT doc_id, GREATEST(len(toks) - 7, 0) AS n_positions FROM t
 ), gr AS (
   -- group/join on the engine's hash_grams=True shuffle key: a rolling
-  -- polynomial over 32-bit token hashes (base 1000003, mod 2^64) — the
+  -- polynomial over 48-bit token hashes (base 1000003, mod 2^64) — the
   -- HUGEINT full-precision sum % 2^64 is congruent to the engine's
   -- per-term uint64 wraparound
   SELECT doc_id,
-    (CAST(md5_number_upper(toks[i + 0]) % 4294967296 AS HUGEINT) * 12924618581234127435::HUGEINT
-    + CAST(md5_number_upper(toks[i + 1]) % 4294967296 AS HUGEINT) * 10923514805226455897::HUGEINT
-    + CAST(md5_number_upper(toks[i + 2]) % 4294967296 AS HUGEINT) * 14453212906556403763::HUGEINT
-    + CAST(md5_number_upper(toks[i + 3]) % 4294967296 AS HUGEINT) * 14003818205314896721::HUGEINT
-    + CAST(md5_number_upper(toks[i + 4]) % 4294967296 AS HUGEINT) * 1000009000027000027::HUGEINT
-    + CAST(md5_number_upper(toks[i + 5]) % 4294967296 AS HUGEINT) * 1000006000009::HUGEINT
-    + CAST(md5_number_upper(toks[i + 6]) % 4294967296 AS HUGEINT) * 1000003::HUGEINT
-    + CAST(md5_number_upper(toks[i + 7]) % 4294967296 AS HUGEINT) * 1::HUGEINT) % 18446744073709551616::HUGEINT AS gram
+    (CAST(md5_number_upper(toks[i + 0]) % 281474976710656 AS HUGEINT) * 12924618581234127435::HUGEINT
+    + CAST(md5_number_upper(toks[i + 1]) % 281474976710656 AS HUGEINT) * 10923514805226455897::HUGEINT
+    + CAST(md5_number_upper(toks[i + 2]) % 281474976710656 AS HUGEINT) * 14453212906556403763::HUGEINT
+    + CAST(md5_number_upper(toks[i + 3]) % 281474976710656 AS HUGEINT) * 14003818205314896721::HUGEINT
+    + CAST(md5_number_upper(toks[i + 4]) % 281474976710656 AS HUGEINT) * 1000009000027000027::HUGEINT
+    + CAST(md5_number_upper(toks[i + 5]) % 281474976710656 AS HUGEINT) * 1000006000009::HUGEINT
+    + CAST(md5_number_upper(toks[i + 6]) % 281474976710656 AS HUGEINT) * 1000003::HUGEINT
+    + CAST(md5_number_upper(toks[i + 7]) % 281474976710656 AS HUGEINT) * 1::HUGEINT) % 18446744073709551616::HUGEINT AS gram
   FROM (SELECT doc_id, toks,
                unnest(generate_series(1, len(toks) - 7)) AS i FROM t)
 ), pg AS (

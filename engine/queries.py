@@ -17,6 +17,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+from engine.storage import read_parquet_clean
+
 from engine import dedup, relational, similarity, spatial, text
 from engine.corpus import corpus_dataset
 from engine.geometry import PROPERTY_NAMES
@@ -459,7 +461,7 @@ def _emb(sf_dir: str) -> ray.data.Dataset:
     # stages parallelize without tiny-input task overhead (same as _docs)
     from engine.corpus import size_aware_blocks
     p = os.path.join(sf_dir, "embeddings.parquet")
-    return ray.data.read_parquet(p, columns=["vec_id", "embedding"],
+    return read_parquet_clean(p, columns=["vec_id", "embedding"],
                                  override_num_blocks=size_aware_blocks(p, 32))
 
 
@@ -470,7 +472,7 @@ def _docs(sf_dir: str) -> ray.data.Dataset:
     # the whole stage) without over-tasking tiny sf inputs
     from engine.corpus import size_aware_blocks
     p = os.path.join(sf_dir, "documents.parquet")
-    return ray.data.read_parquet(p, columns=["doc_id", "text"],
+    return read_parquet_clean(p, columns=["doc_id", "text"],
                                  override_num_blocks=size_aware_blocks(p, 32))
 
 
@@ -555,7 +557,7 @@ def q_events_heavy_hitters(sf_dir: str):
     counts via the sketch -> tracked-undercount candidates -> exact-verify
     pattern; only bounded sketch entries ever ride a shuffle.  Oracle-exact
     (plain GROUP BY / HAVING)."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+    ds = read_parquet_clean(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id"])
     return relational.heavy_hitters(ds, col="user_id", denom=129,
                                     capacity=2048)
@@ -1080,7 +1082,7 @@ def corpus_sample(sf_dir: str):
     over-represented stratum) to 25%, keep other languages at 75%, via a
     pure md5-per-row keep rule — identical membership at any parallelism.
     Oracle-exact (md5_number_upper replicates stable_hash64)."""
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "lang", "source", "n_chars"])
     return text.stratified_sample(docs, rates={"en": 0.25},
@@ -1099,7 +1101,7 @@ def curation_pipeline(sf_dir: str):
     import pyarrow.compute as pc
     from engine import dedup
     from engine.joins import bucketed_semi_join
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"])
 
@@ -1137,7 +1139,7 @@ def reservoir_sample(sf_dir: str):
     per-block combiner then one tiny groupby merge.  Oracle-exact
     (md5_number_upper replicates stable_hash64; ROW_NUMBER replicates the
     hash rank)."""
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "lang"])
     return text.reservoir_per_group(docs, group_col="lang", k=50, seed=1)
@@ -1157,7 +1159,7 @@ def mixture_sample(sf_dir: str):
     collect.  Oracle-exact."""
     from engine.corpus import size_aware_blocks
     p = os.path.join(sf_dir, "documents.parquet")
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         p, columns=["doc_id", "lang", "source", "n_chars"],
         override_num_blocks=size_aware_blocks(p, 32))
     return text.mixture_sample(docs, seed=1)

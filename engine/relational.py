@@ -14,13 +14,15 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+
+from engine.storage import read_parquet_clean
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from engine.joins import broadcast_lookup, broadcast_semi_join
 
 
 def _t(sf_dir: str, name: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"),
                                  columns=columns)
 
 
