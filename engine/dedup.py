@@ -767,21 +767,29 @@ def dup_clusters(pairs: ray.data.Dataset,
         nodes = np.unique(np.concatenate([a, b]))
         ai = np.searchsorted(nodes, a)
         bi = np.searchsorted(nodes, b)
+        # vectorized union-find: alternate full pointer-jumping compression
+        # (parent = parent[parent] to fixpoint) with a batched hook that
+        # points every edge's larger root at the smallest root seen for it
+        # (np.minimum.at).  O(log n) rounds of pure int-array ops — no
+        # per-edge Python loop, so the small-graph threshold is safe at
+        # millions of edges.  Labels converge to the component-min node,
+        # identical to serial union-by-min (equality pinned vs the BSP
+        # path by test_dup_clusters_*).
         parent = np.arange(len(nodes))
-
-        def find(i: int) -> int:
-            while parent[i] != i:
-                parent[i] = parent[parent[i]]   # path halving
-                i = parent[i]
-            return i
-
-        for x, y in zip(ai, bi):
-            rx, ry = find(x), find(y)
-            if rx != ry:
-                # union by MIN node id so every root is the canonical label
-                lo, hi = (rx, ry) if nodes[rx] <= nodes[ry] else (ry, rx)
-                parent[hi] = lo
-        labels_np = nodes[[find(i) for i in range(len(nodes))]]
+        while True:
+            while True:                      # full path compression
+                gp = parent[parent]
+                if np.array_equal(gp, parent):
+                    break
+                parent = gp
+            ra, rb = parent[ai], parent[bi]
+            lo = np.minimum(ra, rb)
+            hi = np.maximum(ra, rb)
+            live = lo != hi
+            if not live.any():
+                break
+            np.minimum.at(parent, hi[live], lo[live])
+        labels_np = nodes[parent]
         return ray.data.from_arrow(pa.table({
             "doc_id": pa.array(nodes, type=pa.int64()),
             "cluster_id": pa.array(labels_np, type=pa.int64())}))

@@ -345,7 +345,17 @@ def fused_apply_batch(batch: pa.Table, s: dict, idx_sq: np.ndarray,
             "label": pa.array([], type=pa.int8()),
             "pred": pa.array([], type=pa.int8()),
         })
-    ids_num = pc.cast(out.column("doc_id"), pa.int64()).to_numpy()
+    try:
+        # contract: the fused path requires int64-castable doc_ids (the
+        # corpus generator emits numeric strings); numeric ids are what let
+        # the kernel and the label compare stay allocation-free.
+        ids_num = pc.cast(out.column("doc_id"), pa.int64()).to_numpy()
+    except pa.ArrowInvalid as e:
+        raise ValueError(
+            "fused pipeline requires numeric-string doc_ids (int64-"
+            "castable); corpora with arbitrary string ids must route "
+            "through the unfused stages (properties_dataset -> "
+            "bkafi_nn_dataset -> pair_ratio_features)") from e
     P = np.column_stack([out.column(c).to_numpy() for c in PROPERTY_NAMES])
     Xs = ((P[:, s["feat_idx"]] - s["med"]) / s["iqr"]).astype(np.float32)
     top, dist = blk.topk_l2_f32(Xs, s["idx_scaled"], idx_sq,

