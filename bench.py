@@ -109,7 +109,8 @@ def run_bench() -> dict:
     for name in ("geo_tiles", "geo_knn_spatial", "geo_pip", "q_lineitem_agg",
                  "q_events_hourly", "dedup_minhash", "sim_knn_cosine",
                  "text_tfidf", "dedup_substring", "pack_sequences",
-                 "multimodal_real", "media_audio", "geo_cell_hierarchy",
+                 "multimodal_real", "geo_render", "media_resize",
+                 "media_audio", "geo_block_cells", "geo_cell_hierarchy",
                  "reservoir_sample", "q_shipping_priority", "approx_distinct",
                  "media_video", "curation_pipeline", "q_events_heavy_hitters",
                  "q_events_interval", "q_events_quantiles"):

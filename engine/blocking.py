@@ -473,9 +473,13 @@ def embedding_nn_sharded(cand_emb: ray.data.Dataset,
     (similarity.lsh_knn / ivf_knn) or blocking.cell_blocking."""
     from engine.joins import list_column_matrix
     feat_col = "raw" if exact else "feature"
+    if hasattr(index_emb, "iter_batches"):
+        index_batches = index_emb.iter_batches(batch_size=shard_rows,
+                                               batch_format="pyarrow")
+    else:                      # pre-pulled batch iterable (the auto gate)
+        index_batches = index_emb
     shard_refs, total = [], 0
-    for b in index_emb.iter_batches(batch_size=shard_rows,
-                                    batch_format="pyarrow"):
+    for b in index_batches:
         iv = list_column_matrix(b.column(feat_col))
         ids = np.asarray(b.column("doc_id").to_pylist(), dtype=object)
         num = np.asarray(b.column("doc_id").to_pylist()).astype(np.int64)
@@ -530,16 +534,33 @@ def embedding_nn_auto(cand_emb: ray.data.Dataset,
                       max_broadcast_rows: int = MAX_BROADCAST_INDEX_ROWS,
                       shard_rows: int = 65536) -> ray.data.Dataset:
     """Size-gated embedding blocker (the same size-aware plan pairs.py:83
-    and relational.shipping_priority use): count the index side, collect
-    and broadcast it only under ``max_broadcast_rows``, otherwise stage it
-    shard-by-shard (bit-identical output, no O(index) driver collect)."""
+    and relational.shipping_priority use), decided in ONE streaming pass
+    over the index side: batches accumulate on the driver only while the
+    running row count stays under ``max_broadcast_rows`` (then broadcast —
+    the reference's faiss-index shape); the moment the bound trips, the
+    prefix plus the rest of the SAME stream become object-store shards
+    (bit-identical output either way, never an O(index) driver collect and
+    never a second counting execution)."""
+    import itertools
     cols = ["doc_id", "raw", "norm"] if exact else ["doc_id", "feature"]
     proj = index_emb.select_columns(cols)
-    if proj.count() <= max_broadcast_rows:
-        return embedding_nn_dataset(cand_emb, proj.to_pandas(),
-                                    nn_param=nn_param, exact=exact)
-    return embedding_nn_sharded(cand_emb, proj, nn_param=nn_param,
-                                shard_rows=shard_rows, exact=exact)
+    # iter() is load-bearing: iter_batches returns an ITERABLE whose every
+    # iteration restarts the stream — chaining the iterable itself would
+    # replay the prefix rows a second time.
+    it = iter(proj.iter_batches(batch_size=shard_rows,
+                                batch_format="pyarrow"))
+    prefix, total = [], 0
+    for b in it:
+        prefix.append(b)
+        total += b.num_rows
+        if total > max_broadcast_rows:
+            return embedding_nn_sharded(
+                cand_emb, itertools.chain(prefix, it), nn_param=nn_param,
+                shard_rows=shard_rows, exact=exact)
+    index_df = pa.concat_tables(prefix).to_pandas() if prefix else \
+        proj.limit(0).to_pandas()
+    return embedding_nn_dataset(cand_emb, index_df,
+                                nn_param=nn_param, exact=exact)
 
 
 BLOCKER_REGISTRY = {

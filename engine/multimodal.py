@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from engine.render import encode_png_gray, render_doc_png
+from engine.render import encode_png_gray, pool_width, render_doc_png
 
 FEATURE_DIM = 8
 
@@ -74,12 +74,12 @@ class MediaFeatureActor:
         })
 
 
-def media_features(docs: ray.data.Dataset, concurrency: int = 2,
+def media_features(docs: ray.data.Dataset, concurrency: int | None = None,
                    batch_size: int = 256) -> ray.data.Dataset:
     """Media spans -> deterministic feature vectors (actor pool).  Small
     batch_size on purpose: real binary payloads are heap-heavy per row."""
     return docs.map_batches(MediaFeatureActor, batch_format="pyarrow",
-                            batch_size=batch_size, concurrency=(1, concurrency))
+                            batch_size=batch_size, concurrency=(1, pool_width(concurrency)))
 
 
 # ---------------------------------------------------------------------------
@@ -180,14 +180,14 @@ class PatchEmbedActor:
         })
 
 
-def patch_embeddings(docs: ray.data.Dataset, concurrency: int = 4,
+def patch_embeddings(docs: ray.data.Dataset, concurrency: int | None = None,
                      batch_size: int = 128, **actor_kw) -> ray.data.Dataset:
     """docs (doc_id[, source], spans) -> (doc_id, source, feature) via the
     real-bytes patch-embedding actor pool.  Small batches: each row renders
     and decodes a canvas (heap-heavy, like any real media decode)."""
     return docs.map_batches(PatchEmbedActor, fn_constructor_kwargs=actor_kw,
                             batch_format="pyarrow", batch_size=batch_size,
-                            concurrency=(1, concurrency))
+                            concurrency=(1, pool_width(concurrency)))
 
 
 def resize_png_gray(png: bytes, out_size: int) -> bytes:
@@ -243,13 +243,13 @@ class MediaResizeActor:
 
 
 def media_resize(docs: ray.data.Dataset, out_size: int = 16,
-                 concurrency: int = 4,
+                 concurrency: int | None = None,
                  batch_size: int = 128) -> ray.data.Dataset:
     """docs (doc_id, spans) -> resized-media metadata via the actor pool."""
     return docs.map_batches(MediaResizeActor,
                             fn_constructor_kwargs={"out_size": out_size},
                             batch_format="pyarrow", batch_size=batch_size,
-                            concurrency=(1, concurrency))
+                            concurrency=(1, pool_width(concurrency)))
 
 
 def frame_sample(docs: ray.data.Dataset, stride: int = 2) -> ray.data.Dataset:
@@ -330,13 +330,13 @@ class AudioFeatureActor:
         })
 
 
-def audio_features(docs: ray.data.Dataset, concurrency: int = 2,
+def audio_features(docs: ray.data.Dataset, concurrency: int | None = None,
                    batch_size: int = 256) -> ray.data.Dataset:
     """Media spans -> audio DSP features (actor pool; stub decode
     declared, DSP real)."""
     return docs.map_batches(AudioFeatureActor, batch_format="pyarrow",
                             batch_size=batch_size,
-                            concurrency=(1, concurrency))
+                            concurrency=(1, pool_width(concurrency)))
 
 
 def _synth_video_stub(media_ref: str, n_frames: int = 8,
@@ -403,10 +403,10 @@ class VideoFeatureActor:
         })
 
 
-def video_features(docs: ray.data.Dataset, concurrency: int = 2,
+def video_features(docs: ray.data.Dataset, concurrency: int | None = None,
                    batch_size: int = 256) -> ray.data.Dataset:
     """Media spans -> per-frame video features (actor pool; stub decode
     declared, frame ops real)."""
     return docs.map_batches(VideoFeatureActor, batch_format="pyarrow",
                             batch_size=batch_size,
-                            concurrency=(1, concurrency))
+                            concurrency=(1, pool_width(concurrency)))

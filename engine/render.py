@@ -115,11 +115,25 @@ class RenderActor:
         return pa.table(out)
 
 
+def pool_width(concurrency: int | None) -> int:
+    """Default actor-pool width for the media stages: size to the cluster
+    (CPUs - 2, floor 4) when the caller doesn't pin one.  The media actors
+    are pure-CPU codecs — a fixed small cap serializes the stage on wide
+    nodes (a 4-actor pool leaves 28 of 32 cores idle)."""
+    if concurrency is not None:
+        return concurrency
+    try:
+        import ray
+        return max(4, int(ray.cluster_resources().get("CPU", 8)) - 2)
+    except Exception:   # pragma: no cover - ray not yet initialised
+        return 4
+
+
 def render_dataset(docs: ray.data.Dataset, size: int = 64,
-                   concurrency: int = 4,
+                   concurrency: int | None = None,
                    batch_size: int = 128) -> ray.data.Dataset:
     """docs (doc_id, spans) -> (doc_id, png bytes).  Small batches on
     purpose: rendered canvases are heap-heavy rows (K5's media analogue)."""
     return docs.map_batches(RenderActor, fn_constructor_kwargs={"size": size},
                             batch_format="pyarrow", batch_size=batch_size,
-                            concurrency=(1, concurrency))
+                            concurrency=(1, pool_width(concurrency)))
