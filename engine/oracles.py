@@ -1803,3 +1803,38 @@ SELECT parent_cell,
        CAST(SUM(n) AS BIGINT) AS n_assignments
 FROM d2 GROUP BY parent_cell
 """
+
+
+# PII scrub (engine/text.py pii_scrub over planted_pii_corpus): DuckDB and
+# pyarrow.compute share the RE2 engine, so per-class match counts and the
+# post-redaction length replicate exactly; the planted tokens are a pure
+# function of doc_id.
+_PII_EMAIL = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+_PII_PHONE = "\\+1-555-[0-9][0-9][0-9][0-9]"
+_PII_IP = "10\\.[0-9]+\\.[0-9]+\\.7"
+
+TEXT_PII_SCRUB = f"""
+WITH pii AS (
+  SELECT doc_id,
+    CASE doc_id % 9
+      WHEN 0 THEN text || ' contact user' || doc_id || '@example.com now'
+      WHEN 3 THEN text || ' call +1-555-' ||
+                  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+      WHEN 6 THEN text || ' host 10.' || (doc_id % 256) || '.' ||
+                  ((doc_id // 256) % 256) || '.7 up'
+      ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ips,
+  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+       '{_PII_EMAIL}', '<EMAIL>', 'g'),
+       '{_PII_PHONE}', '<PHONE>', 'g'),
+       '{_PII_IP}', '<IP>', 'g')) AS BIGINT) AS n_chars_redacted,
+  (len(regexp_extract_all(text, '{_PII_EMAIL}'))
+   + len(regexp_extract_all(text, '{_PII_PHONE}'))
+   + len(regexp_extract_all(text, '{_PII_IP}'))) > 0 AS has_pii
+FROM pii
+"""

@@ -111,7 +111,15 @@ def prep_train(props: ray.data.Dataset, seed: int = 1,
     """
     # index ids: the declared broadcast side (KDTree / negative-sampling
     # space); cands ids NEVER collect to the driver — the split predicate
-    # runs dataset-side and only the train subset materializes
+    # runs dataset-side and only the train subset materializes.
+    # BROADCAST-SIZE CONTRACT: the index SIDE of this pipeline is the small
+    # side by design (the reference's index/candidate asymmetry) — its id
+    # array and scaled matrix are ray.put once and read per worker.  When
+    # the index side itself is corpus-scale (10^9+ rows), this prep is the
+    # wrong plan: route blocking through blocking.cell_blocking (spatial
+    # co-partitioning, no broadcast) and the split through
+    # split_cands_dataset with a bucketed semi-join instead of the
+    # searchsorted membership.
     index_ids = side_dataset(props, "index", ["doc_id"]) \
         .to_pandas().doc_id.tolist()
     split_ref = ray.put(np.sort(np.asarray(index_ids, dtype=np.int64)))

@@ -1267,6 +1267,17 @@ def text_repetition(sf_dir: str):
     return repetition_stats(_docs(sf_dir))
 
 
+def text_pii_scrub(sf_dir: str):
+    """PII detection + redaction (the scrub stage of a CCNet/Dolma-style
+    curation pipeline) over the planted-PII corpus: per-doc match counts
+    per class (email / phone / internal IP), post-redaction length, and a
+    has_pii flag — all pyarrow.compute RE2 kernels, zero per-row Python.
+    DuckDB shares the RE2 engine, so every count and the redacted length
+    are oracle-exact."""
+    from engine.text import pii_scrub, planted_pii_corpus
+    return pii_scrub(planted_pii_corpus(_docs(sf_dir)))
+
+
 def inverted_index(sf_dir: str):
     """Distributed inverted-index build: term → df + first-32 ascending
     posting list (comma-joined), per-doc distinct explode → term-hash bucket
@@ -1430,6 +1441,9 @@ QUERIES = {
     "geo_pair_features": geo_pair_features,
     "geo_block_bkafi": geo_block_bkafi,
     "geo_block_centroid": geo_block_centroid,
+    # --- block 4: round-5 additions (append-only so the r05 driver gate
+    # window — the first ~50 keys — still covers the never-checked set) ---
+    "text_pii_scrub": text_pii_scrub,
 }
 
 
@@ -1467,6 +1481,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_quantiles": o.EVENTS_QUANTILES,
         "geo_block_cells": o.GEO_BLOCK_CELLS,
         "text_stats": o.TEXT_STATS,
+        "text_pii_scrub": o.TEXT_PII_SCRUB,
         "text_langid": o.TEXT_LANGID,
         "text_fingerprint": o.TEXT_FINGERPRINT,
         "text_tokens": o.TEXT_TOKENS,

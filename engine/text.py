@@ -775,3 +775,69 @@ def approx_distinct_kmv(docs: ray.data.Dataset, k: int = 256,
         "kth_hash": pa.array([kth], type=pa.uint64()),
         "est_distinct": pa.array([est], type=pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# PII scrub (the redaction stage of a CCNet/Dolma-style curation pipeline)
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z][a-z]+"
+PII_PHONE = r"\+1-555-[0-9][0-9][0-9][0-9]"
+PII_IP = r"10\.[0-9]+\.[0-9]+\.7"
+
+
+def planted_pii_corpus(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Deterministically append one PII token to a third of the corpus
+    (the synthetic documents carry none): doc_id % 9 == 0 -> an email,
+    % 9 == 3 -> a phone number, % 9 == 6 -> an internal IPv4.  A pure
+    function of doc_id, so the oracle re-plants identically in SQL."""
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        out = []
+        for i, t in zip(ids.tolist(), batch.column("text").to_pylist()):
+            m = i % 9
+            if m == 0:
+                t = f"{t} contact user{i}@example.com now"
+            elif m == 3:
+                t = f"{t} call +1-555-{i % 10000:04d} today"
+            elif m == 6:
+                t = f"{t} host 10.{i % 256}.{(i // 256) % 256}.7 up"
+            out.append(t)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(out, type=pa.string())})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow")
+
+
+def pii_scrub(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """PII detection + redaction profile per doc: match counts per class
+    (email / phone / internal IP), the post-redaction character length
+    (each match replaced by a fixed <CLASS> token), and a has_pii flag.
+
+    Entirely pyarrow.compute RE2 kernels (count_substring_regex /
+    replace_substring_regex) — zero Python per-row work, and the SAME
+    regex engine DuckDB uses, so the oracle replicates every count and
+    the redacted length exactly.  Stateless map_batches; the redacted
+    text itself stays in the pipeline (only its length leaves)."""
+    import pyarrow.compute as pc
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        ne = pc.count_substring_regex(t, PII_EMAIL)
+        np_ = pc.count_substring_regex(t, PII_PHONE)
+        ni = pc.count_substring_regex(t, PII_IP)
+        red = pc.replace_substring_regex(t, PII_EMAIL, "<EMAIL>")
+        red = pc.replace_substring_regex(red, PII_PHONE, "<PHONE>")
+        red = pc.replace_substring_regex(red, PII_IP, "<IP>")
+        total = pc.add(pc.add(ne, np_), ni)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_emails": pc.cast(ne, pa.int64()),
+            "n_phones": pc.cast(np_, pa.int64()),
+            "n_ips": pc.cast(ni, pa.int64()),
+            "n_chars_redacted": pc.cast(pc.utf8_length(red), pa.int64()),
+            "has_pii": pc.greater(total, 0),
+        })
+
+    return docs.map_batches(scrub, batch_format="pyarrow")

@@ -1284,3 +1284,21 @@ def test_dup_clusters_vectorized_uf_equals_serial_random(ray_session):
     # (BSP == fast-path agreement is pinned by
     # test_dup_clusters_chain_transitivity; each BSP round is a bucketed
     # shuffle, too heavy to repeat on a random graph here)
+
+
+def test_pii_scrub_planted_counts(ray_session):
+    """pii_scrub over the planted corpus: exactly one match of the planted
+    class per doc_id % 9 in {0,3,6}, none elsewhere; redaction shortens
+    (or keeps, for short ids) the text by the token-length delta."""
+    from engine.queries import text_pii_scrub
+    df = text_pii_scrub("/root/testdata/sf0.001").to_pandas()
+    m = df.doc_id % 9
+    assert (df.loc[m == 0, "n_emails"] == 1).all()
+    assert (df.loc[m == 3, "n_phones"] == 1).all()
+    assert (df.loc[m == 6, "n_ips"] == 1).all()
+    assert (df.loc[~m.isin([0, 3, 6]),
+                   ["n_emails", "n_phones", "n_ips"]].to_numpy() == 0).all()
+    assert df.has_pii.eq(m.isin([0, 3, 6])).all()
+    # a redacted phone " +1-555-0042" (12 ch) becomes "<PHONE>" (7 ch)
+    phone_rows = df[m == 3]
+    assert (phone_rows.n_chars_redacted > 0).all()
