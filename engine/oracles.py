@@ -1838,3 +1838,19 @@ SELECT doc_id,
    + len(regexp_extract_all(text, '{_PII_IP}'))) > 0 AS has_pii
 FROM pii
 """
+
+
+# BPE merge-pair counts (engine/text.py merge_pair_counts, k=50): global
+# adjacent-token pair counts, top-k under the total order
+# (count desc, left asc, right asc) so boundary ties are deterministic.
+VOCAB_MERGE_PAIRS = """
+WITH t AS (
+  SELECT string_split(text, ' ') AS toks FROM documents
+), p AS (
+  SELECT toks[i] AS left_tok, toks[i + 1] AS right_tok
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t)
+)
+SELECT left_tok, right_tok, CAST(count(*) AS BIGINT) AS cnt
+FROM p GROUP BY left_tok, right_tok
+ORDER BY cnt DESC, left_tok, right_tok LIMIT 50
+"""

@@ -1267,6 +1267,16 @@ def text_repetition(sf_dir: str):
     return repetition_stats(_docs(sf_dir))
 
 
+def vocab_merge_pairs(sf_dir: str):
+    """One BPE merge-selection round (Sennrich et al. 2016): corpus-wide
+    adjacent-token pair counts, global top-50 under the deterministic
+    (count desc, left, right) total order.  Combiner partial counts ->
+    pair-hash bucket shuffle -> lossless per-bucket top-k -> <=64x50-row
+    driver merge.  Oracle-exact."""
+    from engine.text import merge_pair_counts
+    return merge_pair_counts(_docs(sf_dir))
+
+
 def text_pii_scrub(sf_dir: str):
     """PII detection + redaction (the scrub stage of a CCNet/Dolma-style
     curation pipeline) over the planted-PII corpus: per-doc match counts
@@ -1391,6 +1401,11 @@ QUERIES = {
     "matching_models_eval": matching_models_eval,
     # --- block 2: r04's one red row, re-checked after the oracle fix ---
     "text_repetition": text_repetition,
+    # --- block 2b: round-5 additions, placed inside the ~50-entry driver
+    # gate window (the two previously-green entries they displace already
+    # have r04 driver rows, so across r04+r05 every entry has one) ---
+    "text_pii_scrub": text_pii_scrub,
+    "vocab_merge_pairs": vocab_merge_pairs,
     # --- block 3: previously driver-green entries, old relative order ---
     "q_lineitem_agg": q_lineitem_agg,
     "q_orders_by_nation": q_orders_by_nation,
@@ -1441,9 +1456,6 @@ QUERIES = {
     "geo_pair_features": geo_pair_features,
     "geo_block_bkafi": geo_block_bkafi,
     "geo_block_centroid": geo_block_centroid,
-    # --- block 4: round-5 additions (append-only so the r05 driver gate
-    # window — the first ~50 keys — still covers the never-checked set) ---
-    "text_pii_scrub": text_pii_scrub,
 }
 
 
@@ -1482,6 +1494,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_block_cells": o.GEO_BLOCK_CELLS,
         "text_stats": o.TEXT_STATS,
         "text_pii_scrub": o.TEXT_PII_SCRUB,
+        "vocab_merge_pairs": o.VOCAB_MERGE_PAIRS,
         "text_langid": o.TEXT_LANGID,
         "text_fingerprint": o.TEXT_FINGERPRINT,
         "text_tokens": o.TEXT_TOKENS,

@@ -841,3 +841,62 @@ def pii_scrub(docs: ray.data.Dataset) -> ray.data.Dataset:
         })
 
     return docs.map_batches(scrub, batch_format="pyarrow")
+
+
+def merge_pair_counts(docs: ray.data.Dataset, k: int = 50,
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """Tokenizer-training support: corpus-wide adjacent-token pair counts —
+    one BPE merge-selection round (Sennrich et al. 2016: the merge is the
+    most frequent symbol pair; a full trainer loops this with re-tokenize).
+    Emits the global top-``k`` pairs under the TOTAL order
+    (count desc, left asc, right asc), so boundary ties are deterministic.
+
+    Scale shape: per-batch np.unique partial counts (a batch contributes
+    one row per DISTINCT pair — the combiner) -> coarse pair-hash bucket
+    shuffle -> one vectorized pandas sum + per-bucket top-k per bucket ->
+    the driver merges 64 x k rows.  Each pair lives in exactly one bucket,
+    so per-bucket top-k before the driver merge is lossless for the global
+    top-k.  No vocabulary ever broadcasts; the driver sees <= 64*k rows."""
+    from engine.joins import fast_hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lefts, rights = [], []
+        for t in batch.column("text").to_pylist():
+            toks = t.split(" ")
+            lefts.extend(toks[:-1])
+            rights.extend(toks[1:])
+        if not lefts:
+            return pa.table({"pair": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64()),
+                             "__b": pa.array([], type=pa.int64())})
+        # " " as the pair separator is unambiguous (tokens come from a
+        # space split so cannot contain one) and — unlike "\x00" — is not
+        # numpy's U-dtype padding char (trailing NULs get stripped).
+        pair = np.char.add(np.char.add(
+            np.asarray(lefts, dtype="U"), " "), np.asarray(rights,
+                                                           dtype="U"))
+        u, c = np.unique(pair, return_counts=True)
+        h = fast_hash64(u.tolist())
+        return pa.table({
+            "pair": pa.array(u.tolist(), type=pa.string()),
+            "c": pa.array(c.astype(np.int64)),
+            "__b": pa.array((h % num_buckets).astype(np.int64)),
+        })
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pair", sort=False)["c"].sum().reset_index()
+        lr = s["pair"].str.split(" ", n=1, expand=True)
+        s["left_tok"], s["right_tok"] = lr[0], lr[1]
+        s = s.sort_values(["c", "left_tok", "right_tok"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(k)
+        return s[["left_tok", "right_tok", "c"]].rename(columns={"c": "cnt"})
+
+    per_bucket = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__b").map_groups(bucket_topk, batch_format="pandas") \
+        .to_pandas()
+    out = per_bucket.sort_values(["cnt", "left_tok", "right_tok"],
+                                 ascending=[False, True, True],
+                                 kind="mergesort").head(k)
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.reset_index(drop=True)

@@ -1302,3 +1302,27 @@ def test_pii_scrub_planted_counts(ray_session):
     # a redacted phone " +1-555-0042" (12 ch) becomes "<PHONE>" (7 ch)
     phone_rows = df[m == 3]
     assert (phone_rows.n_chars_redacted > 0).all()
+
+
+def test_merge_pair_counts_matches_serial(ray_session):
+    """BPE merge-pair counting equals a serial Counter over the same corpus
+    (values AND the deterministic tie order), across a bucket count chosen
+    so several pairs share buckets."""
+    from collections import Counter
+    from engine.text import merge_pair_counts
+    from engine.storage import read_parquet_clean
+    sf = "/root/testdata/sf0.001"
+    got = merge_pair_counts(read_parquet_clean(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]), k=30,
+        num_buckets=7)
+    import duckdb
+    texts = duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf}/documents.parquet')"
+    ).df()["text"].tolist()
+    c = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        c.update(zip(toks, toks[1:]))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:30]
+    assert list(zip(zip(got.left_tok, got.right_tok), got.cnt)) == \
+        [((l, r), n) for (l, r), n in want]
