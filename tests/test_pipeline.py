@@ -320,3 +320,17 @@ def test_partitioned_resume_survives_sigkill_sf01(ray_session, tmp_path):
     b = d2.to_pandas()
     assert a.equals(b)          # row-for-row, order included
     assert a.doc_id.is_unique and len(a) == 5000
+
+
+def test_read_schemas_stay_hashable(ray_session):
+    """Regression guard for the schema-dedup fix: blocks read from
+    pandas-written parquet must carry metadata-free (hashable) schemas —
+    an unhashable schema silently defeats Ray's unify_schemas early exit
+    and floods 'Failed to hash the schemas' warnings at every block merge."""
+    from engine.storage import read_parquet_clean
+    for cols in (None, ["doc_id", "text"]):
+        b = read_parquet_clean("/root/testdata/sf0.001/documents.parquet",
+                               columns=cols).take_batch(
+            5, batch_format="pyarrow")
+        assert b.schema.metadata is None
+        hash(b.schema)   # must not raise
