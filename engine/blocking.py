@@ -481,8 +481,9 @@ def embedding_nn_sharded(cand_emb: ray.data.Dataset,
     shard_refs, total = [], 0
     for b in index_batches:
         iv = list_column_matrix(b.column(feat_col))
-        ids = np.asarray(b.column("doc_id").to_pylist(), dtype=object)
-        num = np.asarray(b.column("doc_id").to_pylist()).astype(np.int64)
+        id_list = b.column("doc_id").to_pylist()
+        ids = np.asarray(id_list, dtype=object)
+        num = np.asarray(id_list).astype(np.int64)
         inorm = b.column("norm").to_numpy(zero_copy_only=False) if exact \
             else None
         total += len(ids)
@@ -494,7 +495,13 @@ def embedding_nn_sharded(cand_emb: ray.data.Dataset,
         n = len(cv)
         cnorm = batch.column("norm").to_numpy(zero_copy_only=False) \
             if exact else None
-        best_s = np.full((n, kk), -np.inf)
+        # NaN (not -inf) is the empty-slot sentinel: np.lexsort sorts NaN
+        # LAST, so sentinels lose to every real entry — including real
+        # entries whose exact-mode score is itself NaN (zero-norm vectors),
+        # where the secondary numeric-id key decides, exactly like the
+        # broadcast path's one-shot lexsort.  A -inf sentinel would WIN
+        # against NaN-scored real entries and surface null ids.
+        best_s = np.full((n, kk), np.nan)
         best_n = np.full((n, kk), np.iinfo(np.int64).max, dtype=np.int64)
         best_i = np.full((n, kk), None, dtype=object)
         rows = np.arange(n)[:, None]

@@ -157,11 +157,20 @@ class PatchEmbedActor:
         if "png" in batch.column_names:
             # pre-rendered bytes (the shared render_dataset materialization)
             # — decode + embed only; identical features to the render path.
+            # The renders must match this actor's configured canvas size
+            # (a mismatched `size` kwarg would otherwise compute features
+            # at the wrong resolution or die in a cryptic reshape).
             for d, so, png in zip(batch.column("doc_id").to_pylist(),
                                   sources, batch.column("png").to_pylist()):
+                img = decode_png_gray(png)
+                if img.shape != (self.size, self.size):
+                    raise ValueError(
+                        f"pre-rendered png is {img.shape}, actor expects "
+                        f"({self.size}, {self.size}) — re-render or drop "
+                        "the size override")
                 ids.append(d)
                 srcs.append(so)
-                feats.append(self._embed(decode_png_gray(png)).tolist())
+                feats.append(self._embed(img).tolist())
         else:
             for d, so, spans in zip(batch.column("doc_id").to_pylist(),
                                     sources,

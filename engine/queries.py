@@ -1354,19 +1354,16 @@ def multimodal_features(sf_dir: str):
     return feats.map_batches(flat, batch_format="pyarrow")
 
 
-# Gate-friendly ordering: cheap INDEPENDENT queries first (relational, text,
-# similarity — no shared-cache warmup), then the geo families in dependency
-# order (property table -> spatial -> blocking -> trained prep), the
-# near-dup chains last.  A crash or timeout late in a long driver sweep
-# (one Ray-core ref-count race was observed at query 57/66) then costs the
-# fewest recorded results.
-# Ordering contract: the driver's correctness gate records at most ~50
-# entries per round, FIFO over this dict.  Rounds 1-4 recorded the first 50
-# keys of the old order; the 30 keys that had never received a driver row
-# (r04 positions 51-80) are promoted to the FRONT here (cheap-independent
-# first within the block), followed by text_repetition (the r04 red row,
-# re-checked after the HUGEINT->BIGINT oracle cast fix in oracles.py), so
-# that across r04+r05 every one of the 80 entries has a driver row.
+# Ordering contract (supersedes the earlier cheap-independent-first rule):
+# the driver's correctness gate records at most ~50 entries per round,
+# FIFO over this dict.  Rounds 1-4 recorded the first 50 keys of the old
+# order; the 30 keys that had never received a driver row (r04 positions
+# 51-80) are promoted to the FRONT here, followed by text_repetition (the
+# r04 red row, re-checked after the HUGEINT->BIGINT oracle cast fix in
+# oracles.py) and the round-5 additions, so that across r04+r05 every
+# entry has a driver row.  Within each block, cheaper/independent queries
+# still lead where possible so a crash late in a sweep costs the fewest
+# recorded results — but gate coverage outranks cost ordering.
 QUERIES = {
     # --- block 1: the 30 entries with no driver row through r04 ---
     "geo_threshold_sweep": geo_threshold_sweep,

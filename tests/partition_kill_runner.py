@@ -53,6 +53,15 @@ if __name__ == "__main__":
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
     from engine.checkpoint import run_stage_partitioned
-    run_stage_partitioned(root, "docstats", PART_KEYS,
-                          build_doc_part(sf_dir))
+    inner = build_doc_part(sf_dir)
+
+    def braked(key):
+        # widen the kill window deterministically: >=0.4 s between
+        # partition commits so the test's poll (0.05 s) cannot miss the
+        # 2-committed state even on a machine that builds instantly
+        import time
+        time.sleep(0.4)
+        return inner(key)
+
+    run_stage_partitioned(root, "docstats", PART_KEYS, braked)
     ray.shutdown()

@@ -1213,6 +1213,9 @@ def test_embedding_nn_sharded_equals_broadcast(ray_session):
 
     def emb_table(n, offset):
         raw = rng.integers(-4, 5, size=(n, dim)).astype(np.float64)
+        raw[0] = 0.0   # zero-norm row: exact-mode scores are NaN — the
+        # sharded fold must still pick REAL ids by the numeric tie key,
+        # like the broadcast path's one-shot lexsort (NaN-sentinel pin)
         feat = raw / np.maximum(np.linalg.norm(raw, axis=1), 1e-12)[:, None]
         return pa.table({
             "doc_id": pa.array([str(offset + i) for i in range(n)]),

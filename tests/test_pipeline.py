@@ -277,7 +277,7 @@ def test_partitioned_resume_survives_sigkill_sf01(ray_session, tmp_path):
                             stdout=subprocess.DEVNULL,
                             stderr=subprocess.DEVNULL)
     mp = os.path.join(root, "docstats", "manifest.json")
-    deadline = time.time() + 120
+    deadline = time.time() + 300
     try:
         while time.time() < deadline:
             if os.path.exists(mp):
@@ -289,7 +289,7 @@ def test_partitioned_resume_survives_sigkill_sf01(ray_session, tmp_path):
                     break
             if proc.poll() is not None:
                 break
-            time.sleep(0.2)
+            time.sleep(0.05)
         assert proc.poll() is None, "runner finished before the kill"
         proc.send_signal(signal.SIGKILL)   # hard kill mid-stage
     finally:
