@@ -74,12 +74,36 @@ class MediaFeatureActor:
         })
 
 
+
+# Per-worker-process memoized stage instances: these stages' state is a few
+# KB (a seeded projection matrix, sizes, an md5 stub) — building it once per
+# WORKER via a module-global cache gives the same load-once semantics as an
+# actor pool without paying cold per-actor process spawn (seconds on a
+# 30-wide pool for seconds-long stages).  A REAL heavyweight encoder
+# (multi-GB weights) should run as an actor pool instead: pass the actor
+# class to map_batches with concurrency=(1, N) — the classes below keep
+# that __init__ slot intact.
+_WORKER_STAGE_CACHE: dict = {}
+
+
+def _worker_stage(cls, **kw):
+    key = (cls.__name__, tuple(sorted(kw.items())))
+    inst = _WORKER_STAGE_CACHE.get(key)
+    if inst is None:
+        inst = _WORKER_STAGE_CACHE[key] = cls(**kw)
+    return inst
+
+
 def media_features(docs: ray.data.Dataset, concurrency: int | None = None,
                    batch_size: int = 256) -> ray.data.Dataset:
-    """Media spans -> deterministic feature vectors (actor pool).  Small
-    batch_size on purpose: real binary payloads are heap-heavy per row."""
-    return docs.map_batches(MediaFeatureActor, batch_format="pyarrow",
-                            batch_size=batch_size, concurrency=(1, pool_width(concurrency)))
+    """Media spans -> deterministic feature vectors (task pool, state
+    memoized per worker — see _worker_stage).  Small batch_size on
+    purpose: real binary payloads are heap-heavy per row."""
+    def stage(batch: pa.Table) -> pa.Table:
+        return _worker_stage(MediaFeatureActor)(batch)
+    return docs.map_batches(stage, batch_format="pyarrow",
+                            batch_size=batch_size,
+                            concurrency=pool_width(concurrency))
 
 
 # ---------------------------------------------------------------------------
@@ -192,11 +216,14 @@ class PatchEmbedActor:
 def patch_embeddings(docs: ray.data.Dataset, concurrency: int | None = None,
                      batch_size: int = 128, **actor_kw) -> ray.data.Dataset:
     """docs (doc_id[, source], spans) -> (doc_id, source, feature) via the
-    real-bytes patch-embedding actor pool.  Small batches: each row renders
-    and decodes a canvas (heap-heavy, like any real media decode)."""
-    return docs.map_batches(PatchEmbedActor, fn_constructor_kwargs=actor_kw,
-                            batch_format="pyarrow", batch_size=batch_size,
-                            concurrency=(1, pool_width(concurrency)))
+    real-bytes patch-embedding stage (task pool, projection memoized per
+    worker).  Small batches: each row renders and decodes a canvas
+    (heap-heavy, like any real media decode)."""
+    def stage(batch: pa.Table) -> pa.Table:
+        return _worker_stage(PatchEmbedActor, **actor_kw)(batch)
+    return docs.map_batches(stage, batch_format="pyarrow",
+                            batch_size=batch_size,
+                            concurrency=pool_width(concurrency))
 
 
 def resize_png_gray(png: bytes, out_size: int) -> bytes:
@@ -254,11 +281,12 @@ class MediaResizeActor:
 def media_resize(docs: ray.data.Dataset, out_size: int = 16,
                  concurrency: int | None = None,
                  batch_size: int = 128) -> ray.data.Dataset:
-    """docs (doc_id, spans) -> resized-media metadata via the actor pool."""
-    return docs.map_batches(MediaResizeActor,
-                            fn_constructor_kwargs={"out_size": out_size},
-                            batch_format="pyarrow", batch_size=batch_size,
-                            concurrency=(1, pool_width(concurrency)))
+    """docs (doc_id, spans) -> resized-media metadata (task pool)."""
+    def stage(batch: pa.Table) -> pa.Table:
+        return _worker_stage(MediaResizeActor, out_size=out_size)(batch)
+    return docs.map_batches(stage, batch_format="pyarrow",
+                            batch_size=batch_size,
+                            concurrency=pool_width(concurrency))
 
 
 def frame_sample(docs: ray.data.Dataset, stride: int = 2) -> ray.data.Dataset:
@@ -341,11 +369,13 @@ class AudioFeatureActor:
 
 def audio_features(docs: ray.data.Dataset, concurrency: int | None = None,
                    batch_size: int = 256) -> ray.data.Dataset:
-    """Media spans -> audio DSP features (actor pool; stub decode
+    """Media spans -> audio DSP features (task pool; stub decode
     declared, DSP real)."""
-    return docs.map_batches(AudioFeatureActor, batch_format="pyarrow",
+    def stage(batch: pa.Table) -> pa.Table:
+        return _worker_stage(AudioFeatureActor)(batch)
+    return docs.map_batches(stage, batch_format="pyarrow",
                             batch_size=batch_size,
-                            concurrency=(1, pool_width(concurrency)))
+                            concurrency=pool_width(concurrency))
 
 
 def _synth_video_stub(media_ref: str, n_frames: int = 8,
@@ -414,8 +444,10 @@ class VideoFeatureActor:
 
 def video_features(docs: ray.data.Dataset, concurrency: int | None = None,
                    batch_size: int = 256) -> ray.data.Dataset:
-    """Media spans -> per-frame video features (actor pool; stub decode
+    """Media spans -> per-frame video features (task pool; stub decode
     declared, frame ops real)."""
-    return docs.map_batches(VideoFeatureActor, batch_format="pyarrow",
+    def stage(batch: pa.Table) -> pa.Table:
+        return _worker_stage(VideoFeatureActor)(batch)
+    return docs.map_batches(stage, batch_format="pyarrow",
                             batch_size=batch_size,
-                            concurrency=(1, pool_width(concurrency)))
+                            concurrency=pool_width(concurrency))

@@ -33,6 +33,9 @@ def _project_iso(verts: np.ndarray) -> np.ndarray:
     return np.column_stack([u, v])
 
 
+_T_CACHE: dict[int, np.ndarray] = {}
+
+
 def rasterize_wireframe(surfaces: list, size: int = 64) -> np.ndarray:
     """uint8 (size, size) canvas with all surface edges drawn (255 on 0)."""
     allv = unique_vertices(surfaces)
@@ -41,14 +44,16 @@ def rasterize_wireframe(surfaces: list, size: int = 64) -> np.ndarray:
     span = np.maximum(pts.max(axis=0) - lo, 1e-9)
     scale = (size - 3) / span.max()
     img = np.zeros((size, size), dtype=np.uint8)
+    t = _T_CACHE.get(size)
+    if t is None:   # sample grid is a function of size only — build once
+        t = _T_CACHE[size] = np.linspace(0.0, 1.0,
+                                         2 * size)[None, :, None]
     for surf in surfaces:
         arr = np.asarray(surf, dtype=np.float64)
         p = (_project_iso(arr) - lo) * scale + 1.0
         # closed ring: edge i -> i+1 (wrap), all edges sampled at once
         a = p
-        b = np.roll(p, -1, axis=0)
-        steps = 2 * size
-        t = np.linspace(0.0, 1.0, steps)[None, :, None]
+        b = np.concatenate([p[1:], p[:1]])   # == np.roll(p, -1, axis=0)
         seg = a[:, None, :] * (1 - t) + b[:, None, :] * t  # (edges, steps, 2)
         xy = seg.reshape(-1, 2)
         xs = np.clip(xy[:, 0].astype(np.int64), 0, size - 1)
@@ -133,7 +138,18 @@ def render_dataset(docs: ray.data.Dataset, size: int = 64,
                    concurrency: int | None = None,
                    batch_size: int = 128) -> ray.data.Dataset:
     """docs (doc_id, spans) -> (doc_id, png bytes).  Small batches on
-    purpose: rendered canvases are heap-heavy rows (K5's media analogue)."""
-    return docs.map_batches(RenderActor, fn_constructor_kwargs={"size": size},
-                            batch_format="pyarrow", batch_size=batch_size,
-                            concurrency=(1, pool_width(concurrency)))
+    purpose: rendered canvases are heap-heavy rows (K5's media analogue).
+
+    Runs as a stateless TASK pool, not an actor pool: the render stage has
+    no model/weights to load (its only state is an int canvas size), and a
+    task pool reuses Ray's existing worker processes where an actor pool
+    pays cold per-actor process spawn before the first batch — measurable
+    seconds on a 30-wide pool for a seconds-long stage.  Actor pools stay
+    where __init__ holds real state (PatchEmbedActor's projection)."""
+    width = pool_width(concurrency)
+
+    def render(batch: pa.Table) -> pa.Table:
+        return RenderActor(size)(batch)
+
+    return docs.map_batches(render, batch_format="pyarrow",
+                            batch_size=batch_size, concurrency=width)
