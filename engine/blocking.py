@@ -395,7 +395,9 @@ def kabsch_transform(source: np.ndarray, target: np.ndarray) -> np.ndarray:
 def embedding_nn_dataset(cand_emb: ray.data.Dataset, index_emb: pd.DataFrame,
                          nn_param: int = NN_PARAM,
                          concurrency: int = 4,
-                         exact: bool = False) -> ray.data.Dataset:
+                         exact: bool = False,
+                         repartition_blocks: int | None = None
+                         ) -> ray.data.Dataset:
     """Embedding blocker (the reference's ViT path, blocking.py:176-191):
     inner-product top-k over per-object embedding vectors, as a streaming
     map_batches with the (small-side) index embedding matrix broadcast —
@@ -444,7 +446,13 @@ def embedding_nn_dataset(cand_emb: ray.data.Dataset, index_emb: pd.DataFrame,
             "score": pa.array(sim[rows, order].ravel(), type=pa.float64()),
         })
 
-    return cand_emb.repartition(concurrency * 4).map_batches(
+    # repartition is opt-in: the cand side usually arrives with enough read
+    # blocks for full width, and an unconditional repartition added an
+    # all-to-all barrier per call; pass repartition_blocks for single-block
+    # inputs.
+    if repartition_blocks:
+        cand_emb = cand_emb.repartition(repartition_blocks)
+    return cand_emb.map_batches(
         topk, batch_format="pyarrow", batch_size=1024)
 
 
@@ -460,7 +468,9 @@ def embedding_nn_sharded(cand_emb: ray.data.Dataset,
                          nn_param: int = NN_PARAM,
                          shard_rows: int = 65536,
                          concurrency: int = 4,
-                         exact: bool = False) -> ray.data.Dataset:
+                         exact: bool = False,
+                         repartition_blocks: int | None = None
+                         ) -> ray.data.Dataset:
     """Exact inner-product top-k for an index side too large to collect as
     one broadcast DataFrame: the index embedding matrix is staged
     shard-by-shard into the object store (driver peak memory = one shard)
@@ -530,7 +540,9 @@ def embedding_nn_sharded(cand_emb: ray.data.Dataset,
             "score": pa.array(best_s.ravel(), type=pa.float64()),
         })
 
-    return cand_emb.repartition(concurrency * 4).map_batches(
+    if repartition_blocks:   # opt-in, same contract as the broadcast path
+        cand_emb = cand_emb.repartition(repartition_blocks)
+    return cand_emb.map_batches(
         topk, batch_format="pyarrow", batch_size=1024)
 
 
