@@ -73,7 +73,14 @@ def lang_id(docs: ray.data.Dataset) -> ray.data.Dataset:
                 "pred_lang": pa.array(preds, type=pa.string()),
             })
 
-    return docs.map_batches(LangActor, batch_format="pyarrow", concurrency=(1, 2))
+    from engine.multimodal import _worker_stage
+    from engine.render import pool_width
+
+    def stage(batch: pa.Table) -> pa.Table:
+        return _worker_stage(LangActor)(batch)
+
+    return docs.map_batches(stage, batch_format="pyarrow",
+                            concurrency=pool_width(None))
 
 
 # GPT-2-style pretokenizer pattern, simplified to the RE2-compatible subset
@@ -108,8 +115,14 @@ def token_counts(docs: ray.data.Dataset) -> ray.data.Dataset:
                 "n_chars": pa.array(n_ch),
             })
 
-    return docs.map_batches(TokenActor, batch_format="pyarrow",
-                            concurrency=(1, 2))
+    from engine.multimodal import _worker_stage
+    from engine.render import pool_width
+
+    def stage(batch: pa.Table) -> pa.Table:
+        return _worker_stage(TokenActor)(batch)
+
+    return docs.map_batches(stage, batch_format="pyarrow",
+                            concurrency=pool_width(None))
 
 
 def quality_filter(docs: ray.data.Dataset,
@@ -327,8 +340,14 @@ def corpus_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
                 "distincts": pa.array(m[:, 5]),
             })
 
-    partial = docs.map_batches(PartialActor, batch_format="pyarrow",
-                               concurrency=(1, 2))
+    from engine.multimodal import _worker_stage
+    from engine.render import pool_width
+
+    def _stage(batch: pa.Table) -> pa.Table:
+        return _worker_stage(PartialActor)(batch)
+
+    partial = docs.map_batches(_stage, batch_format="pyarrow",
+                               concurrency=pool_width(None))
     out = partial.groupby("language").aggregate(
         Sum("n_docs", alias_name="n_docs"),
         Sum("ws_tokens", alias_name="ws_tokens"),
