@@ -927,9 +927,18 @@ def decontaminate(train: ray.data.Dataset, benchmark: ray.data.Dataset,
     return train.map_batches(flag, batch_format="pyarrow")
 
 
+# Broadcast bound for substring_dup_stats' duplicated-gram set: under this
+# many grams the set ships as one sorted array (ray.put once, searchsorted
+# membership inside the second doc scan); above it the bucketed-join path
+# runs (no broadcast assumption).
+MAX_BROADCAST_DUP_GRAMS = 5_000_000
+
+
 def substring_dup_stats(docs: ray.data.Dataset, w: int = 8,
                         num_buckets: int = 64,
-                        hash_grams: bool = True) -> ray.data.Dataset:
+                        hash_grams: bool = True,
+                        max_broadcast_dup_grams: int | None = None
+                        ) -> ray.data.Dataset:
     """Substring-level duplication profile (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better" — the ExactSubstr signal at
     token-window granularity): for every token position, is the w-token
@@ -941,11 +950,15 @@ def substring_dup_stats(docs: ray.data.Dataset, w: int = 8,
     pre-aggregated per doc so a doc contributes one row per DISTINCT gram;
     (2) document frequency per gram via the per-block partial-count
     combiner + pre-aggregated groupby (each (doc, gram) row is one distinct
-    doc, so block counts sum to df); (3) grams with df >= 2 join back to
-    the per-doc rows (bucketed hash join on the gram — no vocabulary
-    broadcast assumption); (4) per-doc duplicated-position sums via the
-    same combiner + groupby shape; (5) LEFT join against the per-doc
-    position base so zero-dup docs keep a row.
+    doc, so block counts sum to df); (3) SIZE-GATED tail: the df>=2 gram
+    set is usually tiny (only cross-doc duplicates), so under
+    MAX_BROADCAST_DUP_GRAMS it broadcasts as one sorted array and a second
+    doc scan emits the complete per-doc profile in one pass (searchsorted
+    membership; per-doc sums are local because each doc's grams are
+    computed inside one call) — zero post-aggregate shuffles; above the
+    bound, the original no-broadcast plan runs: bucketed hash join on the
+    gram, per-doc sum combiner + groupby, LEFT join against the per-doc
+    position base.
 
     By default (``hash_grams=True``) only 8-byte md5-low-8 gram HASHES ride
     the two shuffles — ~10x fewer shuffle bytes than w-token strings at
@@ -1054,7 +1067,80 @@ def substring_dup_stats(docs: ray.data.Dataset, w: int = 8,
     import pyarrow.compute as pc
     dup_grams = df.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("df"), pa.scalar(2))),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
+
+    # Size-gated tail (the same size-aware plan pairs.py uses): the
+    # duplicated-gram set is usually a vanishing fraction of the corpus
+    # (only grams appearing in >=2 docs).  Under the bound it broadcasts as
+    # one sorted array and a SECOND doc scan emits the complete per-doc
+    # profile in one pass — membership via searchsorted, per-doc sums local
+    # to the scan (each doc's grams are computed inside one call), zero
+    # joins or groupbys after the df aggregate.  A pathologically
+    # duplicated corpus falls back to the bucketed-join path below.
+    bound = MAX_BROADCAST_DUP_GRAMS if max_broadcast_dup_grams is None \
+        else max_broadcast_dup_grams
+    if dup_grams.count() <= bound:
+        if hash_grams:
+            parts = [b.column("gram").to_numpy() for b in
+                     dup_grams.iter_batches(batch_format="pyarrow")]
+            dup_arr = np.sort(np.concatenate(parts)) if parts else \
+                np.empty(0, dtype=np.int64)
+        else:
+            vals: list[str] = []
+            for b in dup_grams.iter_batches(batch_format="pyarrow"):
+                vals.extend(b.column("gram").to_pylist())
+            dup_arr = np.sort(np.asarray(vals, dtype="U")) if vals else \
+                np.empty(0, dtype="U1")
+        dup_ref = ray.put(dup_arr)
+
+        def profile(batch: pa.Table) -> pa.Table:
+            arr = ray.get(dup_ref)
+            tok_lists = [t.split(" ")
+                         for t in batch.column("text").to_pylist()]
+            if hash_grams:
+                cache = {}
+                for tl in tok_lists:
+                    for tok in tl:
+                        if tok not in cache:
+                            cache[tok] = int.from_bytes(
+                                hashlib.md5(tok.encode()).digest()[:8],
+                                "little") & 0xFFFFFFFFFFFF
+            n_pos_out = np.empty(len(tok_lists), dtype=np.int64)
+            dp_out = np.zeros(len(tok_lists), dtype=np.int64)
+            for i, toks in enumerate(tok_lists):
+                n_pos = len(toks) - w + 1
+                n_pos_out[i] = max(n_pos, 0)
+                if n_pos <= 0 or len(arr) == 0:
+                    continue
+                if hash_grams:
+                    th = np.fromiter((cache[t] for t in toks),
+                                     dtype=np.uint64, count=len(toks))
+                    acc = np.zeros(n_pos, dtype=np.uint64)
+                    with np.errstate(over="ignore"):
+                        for jj in range(w):
+                            acc += th[jj:jj + n_pos] * POWS[jj]
+                    u, c = np.unique(acc.view(np.int64),
+                                     return_counts=True)
+                else:
+                    u, c = np.unique(
+                        [" ".join(toks[k:k + w]) for k in range(n_pos)],
+                        return_counts=True)
+                pos = np.searchsorted(arr, u)
+                pos[pos == len(arr)] = 0
+                dp_out[i] = int(c[arr[pos] == u].sum())
+            with np.errstate(invalid="ignore"):
+                frac = np.where(n_pos_out > 0,
+                                dp_out / np.maximum(n_pos_out, 1), 0.0)
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "n_positions": pa.array(n_pos_out),
+                "dup_positions": pa.array(dp_out),
+                "dup_frac": pa.array(frac, type=pa.float64()),
+                "flag_remove": pa.array((dp_out * 2 >= n_pos_out)
+                                        & (n_pos_out > 0)),
+            })
+
+        return docs.map_batches(profile, batch_format="pyarrow")
 
     j = bucketed_hash_join(pg, dup_grams, "gram", "gram",
                            num_buckets=num_buckets)

@@ -1329,3 +1329,25 @@ def test_merge_pair_counts_matches_serial(ray_session):
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:30]
     assert list(zip(zip(got.left_tok, got.right_tok), got.cnt)) == \
         [((l, r), n) for (l, r), n in want]
+
+
+def test_substring_broadcast_tail_equals_join_path(ray_session):
+    """substring_dup_stats' size-gated broadcast tail (second doc scan +
+    searchsorted membership) equals the bucketed-join fallback row for row,
+    in both gram representations."""
+    import pandas as pd
+    from engine.dedup import planted_dup_corpus, substring_dup_stats
+    from engine.storage import read_parquet_clean
+    docs = planted_dup_corpus(read_parquet_clean(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"]))
+
+    def norm(ds):
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    for hg in (True, False):
+        fast = norm(substring_dup_stats(docs, hash_grams=hg))
+        join = norm(substring_dup_stats(docs, hash_grams=hg,
+                                        max_broadcast_dup_grams=0))
+        pd.testing.assert_frame_equal(fast, join)
+        assert fast.dup_positions.sum() > 0   # planted dups present
