@@ -277,9 +277,19 @@ def knn_join(cands: ray.data.Dataset, index_df: "pd.DataFrame", k: int = 5,
                 "dist2": pa.array(out_d, type=pa.float64()),
             })
 
-    return cands.map_batches(KnnActor, batch_format="pyarrow",
-                             batch_size=1024, concurrency=(1, concurrency),
-                             max_restarts=0)
+    # task pool with a per-worker cached index (the blocking.py knn_fn
+    # pattern): Ray deserializes the closure once per worker process, so
+    # the cell index builds once per worker and every later task reuses it
+    # — actor-pool load-once semantics without cold actor spawn.
+    holder: dict = {}
+
+    def knn_fn(batch: pa.Table) -> pa.Table:
+        if "a" not in holder:
+            holder["a"] = KnnActor()
+        return holder["a"](batch)
+
+    return cands.map_batches(knn_fn, batch_format="pyarrow",
+                             batch_size=1024, concurrency=concurrency)
 
 
 def geom_pair_features(cands: ray.data.Dataset,
