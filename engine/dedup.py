@@ -305,25 +305,78 @@ def _shingle_signatures(docs: ray.data.Dataset, n: int,
     return docs.map_batches(sig, batch_format="pyarrow")
 
 
+# Driver-verify bound for _verify_pairs_join: candidate pair tables are
+# bounded upstream (stop-bucket / max_df / banding caps), so they are
+# usually tiny; under this many pairs the exact-Jaccard verify runs on the
+# driver over ONE filtered signature scan instead of paying two bucketed
+# joins.  Above it, the no-driver join plan runs.
+MAX_DRIVER_VERIFY_PAIRS = 50_000
+
+
 def _verify_pairs_join(docs: ray.data.Dataset, cand_pairs: ray.data.Dataset,
                        n: int, threshold: float,
-                       pad: bool = False) -> ray.data.Dataset:
-    """Exact-Jaccard verification of candidate pairs, join-shaped.
+                       pad: bool = False,
+                       max_driver_pairs: int | None = None
+                       ) -> ray.data.Dataset:
+    """Exact-Jaccard verification of candidate pairs, size-gated.
 
-    pairs ⋈ signatures(a side) ⋈ signatures(b side) via two bucketed hash
-    joins, then a per-row exact int-ratio Jaccard + threshold filter.
-    Nothing — neither the corpus, nor the pair list, nor a doc->shingles
-    map — is ever materialized on the driver; both joins bound per-group
-    memory by bucket count (the earlier broadcast variant serialized the
-    whole corpus through one process)."""
+    SMALL pair tables (<= MAX_DRIVER_VERIFY_PAIRS — the common case, since
+    every candidate generator caps its buckets): one scan of the corpus
+    computes shingle signatures, FILTERED to the <= 2x|pairs| involved docs
+    via a broadcast sorted-id array; the exact int-ratio Jaccard then runs
+    on the driver with the identical numpy math as the join path's kernel.
+
+    LARGE pair tables: pairs ⋈ signatures(a side) ⋈ signatures(b side) via
+    two bucketed hash joins, then a per-row exact Jaccard + threshold
+    filter — nothing materializes on the driver; both joins bound
+    per-group memory by bucket count."""
     from engine.joins import bucketed_hash_join
 
-    # materialize (to the distributed object store, not the driver): the
-    # signature table feeds BOTH join sides and the pair list feeds the
-    # first join — without pinning, each lazy branch re-executes its whole
-    # upstream chain
-    sigs = _shingle_signatures(docs, n, pad).materialize()
     cand_pairs = cand_pairs.materialize()
+    bound = MAX_DRIVER_VERIFY_PAIRS if max_driver_pairs is None \
+        else max_driver_pairs
+    if cand_pairs.count() <= bound:
+        pdf = cand_pairs.to_pandas()
+        empty = pa.table({"a_id": pa.array([], type=pa.int64()),
+                          "b_id": pa.array([], type=pa.int64()),
+                          "jaccard": pa.array([], type=pa.float64())})
+        if len(pdf) == 0:
+            return ray.data.from_arrow(empty)
+        a = pdf["a_id"].to_numpy(dtype=np.int64)
+        b = pdf["b_id"].to_numpy(dtype=np.int64)
+        involved = np.unique(np.concatenate([a, b]))
+        inv_ref = ray.put(involved)
+
+        def keep(bt: pa.Table) -> pa.Table:
+            arr = ray.get(inv_ref)
+            ids = bt.column("doc_id").to_numpy()
+            pos = np.searchsorted(arr, ids)
+            pos[pos == len(arr)] = 0
+            return bt.filter(pa.array(arr[pos] == ids))
+
+        kept = _shingle_signatures(docs, n, pad) \
+            .map_batches(keep, batch_format="pyarrow").to_pandas()
+        shs_map = dict(zip(kept["doc_id"].to_numpy(dtype=np.int64),
+                           kept["shs"]))
+        out = np.empty(len(pdf))
+        for i in range(len(pdf)):
+            sa = np.asarray(shs_map.get(a[i], ()), dtype=np.uint64)
+            sb = np.asarray(shs_map.get(b[i], ()), dtype=np.uint64)
+            if not len(sa) or not len(sb):
+                out[i] = 0.0
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            out[i] = inter / (len(sa) + len(sb) - inter)
+        m = out >= threshold
+        return ray.data.from_arrow(pa.table({
+            "a_id": pa.array(a[m], type=pa.int64()),
+            "b_id": pa.array(b[m], type=pa.int64()),
+            "jaccard": pa.array(out[m], type=pa.float64()),
+        }) if m.any() else empty)
+
+    # materialize (to the distributed object store, not the driver): the
+    # signature table feeds BOTH join sides
+    sigs = _shingle_signatures(docs, n, pad).materialize()
 
     def sig_side(prefix: str) -> ray.data.Dataset:
         def f(b: pa.Table) -> pa.Table:

@@ -1351,3 +1351,35 @@ def test_substring_broadcast_tail_equals_join_path(ray_session):
                                         max_broadcast_dup_grams=0))
         pd.testing.assert_frame_equal(fast, join)
         assert fast.dup_positions.sum() > 0   # planted dups present
+
+
+def test_verify_pairs_driver_path_equals_join_path(ray_session):
+    """_verify_pairs_join's size-gated driver verify (one filtered
+    signature scan + driver Jaccard) equals the two-bucketed-join plan
+    bit-for-bit on the planted minhash candidates."""
+    import pandas as pd
+    from engine.dedup import (_distinct_pairs, _verify_pairs_join,
+                              minhash_signatures, planted_dup_corpus)
+    from engine.dedup import minhash_lsh_pairs
+    from engine.storage import read_parquet_clean
+    docs = planted_dup_corpus(read_parquet_clean(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"]))
+
+    # reuse the public chain to get candidate pairs, then verify both ways
+    import engine.dedup as D
+
+    def norm(ds):
+        return ds.to_pandas().sort_values(["a_id", "b_id"]) \
+            .reset_index(drop=True)
+
+    fast = norm(minhash_lsh_pairs(docs, threshold=0.5))
+    # force the join path through the public entry by shrinking the bound
+    orig = D.MAX_DRIVER_VERIFY_PAIRS
+    D.MAX_DRIVER_VERIFY_PAIRS = 0
+    try:
+        join = norm(minhash_lsh_pairs(docs, threshold=0.5))
+    finally:
+        D.MAX_DRIVER_VERIFY_PAIRS = orig
+    pd.testing.assert_frame_equal(fast, join)
+    assert len(fast) > 0
