@@ -366,8 +366,19 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         return pa.table({"l_orderkey": pa.array(u, type=pa.int64()),
                          "cents": pa.array(s)})
 
-    rev = line.map_batches(rev_partial, batch_format="pyarrow") \
-        .groupby("l_orderkey").aggregate(Sum("cents", alias_name="cents"))
+    # per-(block, orderkey) partials -> coarse 64-bucket shuffle with ONE
+    # vectorized pandas sum per bucket (the exact_dedup shape) — a per-key
+    # sort-based aggregate pays per-group overhead on one near-singleton
+    # group per distinct order
+    NUM_BUCKETS = 64
+
+    def bucket_sum(g: "pd.DataFrame") -> "pd.DataFrame":
+        return g.groupby("l_orderkey", as_index=False)["cents"].sum()
+
+    def with_bucket(b: pa.Table) -> pa.Table:
+        key = b.column("l_orderkey").to_numpy()
+        return b.append_column(
+            "__b", pa.array((key % NUM_BUCKETS).astype(np.int64)))
 
     # size-aware plan (the pair_features_join pattern): the filtered
     # orders dimension usually collapses far below the fact side — then
@@ -385,6 +396,25 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
                             odf.o_date_us.to_numpy(np.int64),
                             odf.o_orderpriority.to_numpy(object)))
         holder: dict = {}
+
+        def member(b: pa.Table) -> pa.Table:
+            # membership BEFORE the revenue shuffle: only the segment's
+            # orders ride the bucket groupby (the dimension filter is
+            # usually ~1/5 selective)
+            if "s" not in holder:
+                holder["s"] = ray.get(side_ref)
+            okey = holder["s"][0]
+            key = b.column("l_orderkey").to_numpy()
+            pos = np.searchsorted(okey, key)
+            pos_c = np.minimum(pos, max(len(okey) - 1, 0))
+            hit = (okey[pos_c] == key) if len(okey) else \
+                np.zeros(len(key), dtype=bool)
+            return b.filter(pa.array(hit))
+
+        rev = line.map_batches(rev_partial, batch_format="pyarrow") \
+            .map_batches(member, batch_format="pyarrow") \
+            .map_batches(with_bucket, batch_format="pyarrow") \
+            .groupby("__b").map_groups(bucket_sum, batch_format="pandas")
 
         def join_finish(b: pa.Table) -> pa.Table:
             if "s" not in holder:
@@ -409,6 +439,9 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
             .sort(["revenue", "o_date_us", "l_orderkey"],
                   descending=[True, False, False]).limit(k)
 
+    rev = line.map_batches(rev_partial, batch_format="pyarrow") \
+        .map_batches(with_bucket, batch_format="pyarrow") \
+        .groupby("__b").map_groups(bucket_sum, batch_format="pandas")
     joined = bucketed_hash_join(rev, orders, "l_orderkey", "o_orderkey")
 
     def finish(b: pa.Table) -> pa.Table:
