@@ -374,6 +374,13 @@ def corpus_stats(docs: ray.data.Dataset) -> ray.data.Dataset:
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+# Broadcast bound for tfidf_topk's document-frequency map: under this many
+# distinct terms the (term, df) table ships once (sorted arrays via
+# ray.put) and scoring+top-k run locally in one doc scan; above it the
+# term-partitioned join plan runs.
+MAX_BROADCAST_VOCAB = 2_000_000
+
+
 def tfidf_topk(docs: ray.data.Dataset, k: int = 5,
                num_buckets: int = 64) -> ray.data.Dataset:
     """Per-document top-k terms by rational tf-idf — the term-weighting
@@ -425,7 +432,51 @@ def tfidf_topk(docs: ray.data.Dataset, k: int = 5,
         })
 
     df = tf.map_batches(block_df, batch_format="pyarrow") \
-        .groupby("term").aggregate(Sum("n", alias_name="df"))
+        .groupby("term").aggregate(Sum("n", alias_name="df")).materialize()
+
+    # size-gated tail: under MAX_BROADCAST_VOCAB distinct terms the df map
+    # broadcasts sorted and ONE further doc scan does everything locally —
+    # per-doc tf, df lookup (searchsorted), score, and the per-doc top-k
+    # (a doc's terms are all computed inside one call), zero joins or
+    # shuffles after the df aggregate.  A larger vocabulary falls back to
+    # the term-partitioned join plan below (no broadcast assumption).
+    if df.count() <= MAX_BROADCAST_VOCAB:
+        pdf = df.to_pandas()
+        t_arr = np.asarray(pdf["term"].to_numpy(), dtype="U")
+        order = np.argsort(t_arr, kind="stable")
+        df_ref = ray.put((t_arr[order],
+                          pdf["df"].to_numpy(dtype=np.int64)[order]))
+        holder: dict = {}
+
+        def topk_local(batch: pa.Table) -> pa.Table:
+            if "s" not in holder:
+                holder["s"] = ray.get(df_ref)
+            terms_s, dfs_s = holder["s"]
+            ids, terms, tfs, dfs, scores, rnks = [], [], [], [], [], []
+            for d, t in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+                toks, counts = np.unique(t.split(" "), return_counts=True)
+                pos = np.searchsorted(terms_s, toks)  # every term present
+                dfv = dfs_s[pos]
+                s = (counts.astype(np.int64) * n_docs).astype(np.float64) \
+                    / dfv.astype(np.float64)
+                o = np.lexsort((toks, -s))[:k]        # (score desc, term asc)
+                ids.extend([d] * len(o))
+                terms.extend(toks[o].tolist())
+                tfs.extend(counts[o].astype(np.int64).tolist())
+                dfs.extend(dfv[o].tolist())
+                scores.extend(s[o].tolist())
+                rnks.extend(range(1, len(o) + 1))
+            return pa.table({
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "term": pa.array(terms, type=pa.string()),
+                "tf": pa.array(tfs, type=pa.int64()),
+                "df": pa.array(dfs, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+                "rnk": pa.array(rnks, type=pa.int64()),
+            })
+
+        return docs.map_batches(topk_local, batch_format="pyarrow")
 
     j = bucketed_hash_join(tf, df, "term", "term", num_buckets=num_buckets)
 

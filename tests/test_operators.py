@@ -1383,3 +1383,28 @@ def test_verify_pairs_driver_path_equals_join_path(ray_session):
         D.MAX_DRIVER_VERIFY_PAIRS = orig
     pd.testing.assert_frame_equal(fast, join)
     assert len(fast) > 0
+
+
+def test_tfidf_broadcast_vocab_equals_join_path(ray_session):
+    """tfidf_topk's size-gated broadcast-vocabulary tail (one local scan)
+    equals the term-partitioned join plan bit-for-bit."""
+    import pandas as pd
+    import engine.text as T
+    from engine.storage import read_parquet_clean
+    docs = read_parquet_clean("/root/testdata/sf0.001/documents.parquet",
+                              columns=["doc_id", "text"])
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values(["doc_id", "rnk"]) \
+            .reset_index(drop=True)
+        return df[["doc_id", "term", "tf", "df", "score", "rnk"]]
+
+    fast = norm(T.tfidf_topk(docs))
+    orig = T.MAX_BROADCAST_VOCAB
+    T.MAX_BROADCAST_VOCAB = 0
+    try:
+        join = norm(T.tfidf_topk(docs))
+    finally:
+        T.MAX_BROADCAST_VOCAB = orig
+    pd.testing.assert_frame_equal(fast, join)
+    assert (fast.groupby("doc_id").size() <= 5).all() and len(fast) > 0
