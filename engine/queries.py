@@ -887,7 +887,12 @@ def contamination_retrain(sf_dir: str):
         if fraction == 0.0:
             tdf = tr
         else:
-            tds = ray.data.from_pandas(tr).repartition(8)
+            # from_arrow with stripped metadata: from_pandas would attach
+            # the b'pandas' schema-metadata dict, whose unhashable schema
+            # defeats Ray's shuffle-side schema dedup (see storage.py)
+            tds = ray.data.from_arrow(
+                pa.Table.from_pandas(tr, preserve_index=False)
+                .replace_schema_metadata(None)).repartition(8)
             tdf = contaminate(tds, fraction=fraction, seed=1).to_pandas() \
                 .sort_values(["cand_id", "index_id"]).reset_index(drop=True)
         model = RandomForest(random_state=1).fit(
@@ -950,8 +955,11 @@ def geo_match_concat(sf_dir: str):
         [f"{p}_index" for p in PROPERTY_NAMES]
 
     def concat_feats(pairs_df):
-        ds = ray.data.from_pandas(
-            pairs_df[["cand_id", "index_id", "label"]]).repartition(8)
+        ds = ray.data.from_arrow(
+            pa.Table.from_pandas(
+                pairs_df[["cand_id", "index_id", "label"]],
+                preserve_index=False)
+            .replace_schema_metadata(None)).repartition(8)
         out = concatenation_features_dataset(ds, cand_df, index_df)
         return out.to_pandas().sort_values(
             ["cand_id", "index_id"]).reset_index(drop=True)

@@ -237,7 +237,8 @@ def reservoir_per_group(docs: ray.data.Dataset, group_col: str = "lang",
         })
         df = df.sort_values([group_col, "h", "doc_id"], kind="mergesort") \
                .groupby(group_col, sort=False).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["h", "doc_id"], kind="mergesort").head(k).copy()
