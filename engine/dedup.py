@@ -614,6 +614,45 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
                                    batch_format="pandas")
     dd = _distinct_pairs(cand).materialize()
 
+    # driver-verify gate (the _verify_pairs_join pattern): banding caps
+    # bound the pair table, and a signature is ONE uint64 per doc — under
+    # the bound, pull only the <= 2x|pairs| involved signatures via a
+    # broadcast-membership scan and popcount-verify fully vectorized on
+    # the driver; identical rows to the two-join plan (pinned by test).
+    if dd.count() <= MAX_DRIVER_VERIFY_PAIRS:
+        pdf = dd.to_pandas()
+        empty = pa.table({"a_id": pa.array([], type=pa.int64()),
+                          "b_id": pa.array([], type=pa.int64()),
+                          "hamming": pa.array([], type=pa.int32())})
+        if len(pdf) == 0:
+            return ray.data.from_arrow(empty)
+        a = pdf["a_id"].to_numpy(dtype=np.int64)
+        b = pdf["b_id"].to_numpy(dtype=np.int64)
+        involved = np.unique(np.concatenate([a, b]))
+        inv_ref = ray.put(involved)
+
+        def keep(bt: pa.Table) -> pa.Table:
+            arr = ray.get(inv_ref)
+            ids = bt.column("doc_id").to_numpy()
+            pos = np.searchsorted(arr, ids)
+            pos[pos == len(arr)] = 0
+            return bt.filter(pa.array(arr[pos] == ids))
+
+        kept = sigs.map_batches(keep, batch_format="pyarrow").to_pandas()
+        order = np.argsort(kept["doc_id"].to_numpy(dtype=np.int64))
+        kid = kept["doc_id"].to_numpy(dtype=np.int64)[order]
+        ksig = kept["simhash"].to_numpy().astype(np.uint64)[order]
+        xa = ksig[np.searchsorted(kid, a)]
+        xb = ksig[np.searchsorted(kid, b)]
+        x = (xa ^ xb).view(np.uint8).reshape(-1, 8)
+        ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int32)
+        m = ham <= max_hamming
+        return ray.data.from_arrow(pa.table({
+            "a_id": pa.array(a[m], type=pa.int64()),
+            "b_id": pa.array(b[m], type=pa.int64()),
+            "hamming": pa.array(ham[m]),
+        }) if m.any() else empty)
+
     def sig_side(prefix: str) -> ray.data.Dataset:
         def f(b: pa.Table) -> pa.Table:
             return pa.table({f"{prefix}_doc": b.column("doc_id"),

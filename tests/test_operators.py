@@ -1408,3 +1408,29 @@ def test_tfidf_broadcast_vocab_equals_join_path(ray_session):
         T.MAX_BROADCAST_VOCAB = orig
     pd.testing.assert_frame_equal(fast, join)
     assert (fast.groupby("doc_id").size() <= 5).all() and len(fast) > 0
+
+
+def test_simhash_driver_verify_equals_join_path(ray_session):
+    """simhash_pairs' driver-verify gate equals the two-join popcount plan
+    bit-for-bit on the planted corpus."""
+    import pandas as pd
+    import engine.dedup as D
+    from engine.dedup import planted_dup_corpus, simhash_pairs
+    from engine.storage import read_parquet_clean
+    docs = planted_dup_corpus(read_parquet_clean(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"]))
+
+    def norm(ds):
+        return ds.to_pandas().sort_values(["a_id", "b_id"]) \
+            .reset_index(drop=True)
+
+    fast = norm(simhash_pairs(docs))
+    orig = D.MAX_DRIVER_VERIFY_PAIRS
+    D.MAX_DRIVER_VERIFY_PAIRS = 0
+    try:
+        join = norm(simhash_pairs(docs))
+    finally:
+        D.MAX_DRIVER_VERIFY_PAIRS = orig
+    pd.testing.assert_frame_equal(fast, join)
+    assert len(fast) > 0 and (fast.hamming <= 3).all()
