@@ -784,6 +784,47 @@ def embedding_near_dup(emb: ray.data.Dataset, threshold: float = 0.95,
                                    batch_format="pandas")
     dd = _distinct_pairs(cand).materialize()
 
+    # driver-verify gate (the _verify_pairs_join pattern): under the bound,
+    # pull only the <= 2x|pairs| involved embeddings via a broadcast-
+    # membership scan and verify the exact cosine vectorized on the driver
+    # — same per-row numpy expression as the join kernel, so bit-identical
+    # (pinned by test); above the bound the two bucketed joins run.
+    if dd.count() <= MAX_DRIVER_VERIFY_PAIRS:
+        pdf = dd.to_pandas()
+        empty = pa.table({"a_id": pa.array([], type=pa.int64()),
+                          "b_id": pa.array([], type=pa.int64()),
+                          "cosine": pa.array([], type=pa.float64())})
+        if len(pdf) == 0:
+            return ray.data.from_arrow(empty)
+        a = pdf["a_id"].to_numpy(dtype=np.int64)
+        b = pdf["b_id"].to_numpy(dtype=np.int64)
+        involved = np.unique(np.concatenate([a, b]))
+        inv_ref = ray.put(involved)
+
+        def keep(bt: pa.Table) -> pa.Table:
+            arr = ray.get(inv_ref)
+            ids = bt.column("vec_id").to_numpy()
+            pos = np.searchsorted(arr, ids)
+            pos[pos == len(arr)] = 0
+            return bt.filter(pa.array(arr[pos] == ids))
+
+        kept = emb.map_batches(keep, batch_format="pyarrow").to_pandas()
+        order = np.argsort(kept["vec_id"].to_numpy(dtype=np.int64))
+        kid = kept["vec_id"].to_numpy(dtype=np.int64)[order]
+        kv = np.asarray(kept["embedding"].tolist(),
+                        dtype=np.float64)[order]
+        va = kv[np.searchsorted(kid, a)]
+        vb = kv[np.searchsorted(kid, b)]
+        cos = (va * vb).sum(1) / (np.linalg.norm(va, axis=1)
+                                  * np.linalg.norm(vb, axis=1))
+        keepm = cos >= threshold
+        cosq = np.floor(cos[keepm] * 1e9) / 1e9
+        return ray.data.from_arrow(pa.table({
+            "a_id": pa.array(a[keepm], type=pa.int64()),
+            "b_id": pa.array(b[keepm], type=pa.int64()),
+            "cosine": pa.array(cosq, type=pa.float64()),
+        }) if keepm.any() else empty)
+
     def emb_side(prefix: str) -> ray.data.Dataset:
         def f(b: pa.Table) -> pa.Table:
             return pa.table({f"{prefix}_vid": b.column("vec_id"),

@@ -1434,3 +1434,28 @@ def test_simhash_driver_verify_equals_join_path(ray_session):
         D.MAX_DRIVER_VERIFY_PAIRS = orig
     pd.testing.assert_frame_equal(fast, join)
     assert len(fast) > 0 and (fast.hamming <= 3).all()
+
+
+def test_embedding_near_dup_driver_verify_equals_join(ray_session):
+    """embedding_near_dup's driver-verify gate equals the two-join exact-
+    cosine plan bit-for-bit (same numpy expression, same quantization)."""
+    import pandas as pd
+    import engine.dedup as D
+    from engine.dedup import embedding_near_dup
+    from engine.dedup import planted_neardup_embeddings
+    from engine.queries import _emb
+    emb = planted_neardup_embeddings(_emb("/root/testdata/sf0.001"))
+
+    def norm(ds):
+        return ds.to_pandas().sort_values(["a_id", "b_id"]) \
+            .reset_index(drop=True)
+
+    fast = norm(embedding_near_dup(emb, threshold=0.95))
+    orig = D.MAX_DRIVER_VERIFY_PAIRS
+    D.MAX_DRIVER_VERIFY_PAIRS = 0
+    try:
+        join = norm(embedding_near_dup(emb, threshold=0.95))
+    finally:
+        D.MAX_DRIVER_VERIFY_PAIRS = orig
+    pd.testing.assert_frame_equal(fast, join)
+    assert len(fast) > 0
