@@ -394,7 +394,6 @@ def kabsch_transform(source: np.ndarray, target: np.ndarray) -> np.ndarray:
 
 def embedding_nn_dataset(cand_emb: ray.data.Dataset, index_emb: pd.DataFrame,
                          nn_param: int = NN_PARAM,
-                         concurrency: int = 4,
                          exact: bool = False,
                          repartition_blocks: int | None = None
                          ) -> ray.data.Dataset:
@@ -467,7 +466,6 @@ def embedding_nn_sharded(cand_emb: ray.data.Dataset,
                          index_emb: ray.data.Dataset,
                          nn_param: int = NN_PARAM,
                          shard_rows: int = 65536,
-                         concurrency: int = 4,
                          exact: bool = False,
                          repartition_blocks: int | None = None
                          ) -> ray.data.Dataset:

@@ -305,12 +305,33 @@ def _shingle_signatures(docs: ray.data.Dataset, n: int,
     return docs.map_batches(sig, batch_format="pyarrow")
 
 
+def _involved_filter(ds: ray.data.Dataset, id_col: str,
+                     involved: np.ndarray) -> ray.data.Dataset:
+    """Filter ``ds`` to rows whose ``id_col`` is in the broadcast sorted
+    int64 ``involved`` array (ray.put once, searchsorted membership per
+    batch) — the shared scan of every driver-verify gate."""
+    inv_ref = ray.put(involved)
+
+    def keep(bt: pa.Table) -> pa.Table:
+        arr = ray.get(inv_ref)
+        ids = bt.column(id_col).to_numpy()
+        pos = np.searchsorted(arr, ids)
+        pos[pos == len(arr)] = 0
+        return bt.filter(pa.array(arr[pos] == ids))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # Driver-verify bound for _verify_pairs_join: candidate pair tables are
 # bounded upstream (stop-bucket / max_df / banding caps), so they are
 # usually tiny; under this many pairs the exact-Jaccard verify runs on the
 # driver over ONE filtered signature scan instead of paying two bucketed
 # joins.  Above it, the no-driver join plan runs.
 MAX_DRIVER_VERIFY_PAIRS = 50_000
+# ... and a CELL budget on what the driver-verify gates may collect (shingle
+# hashes / embedding floats across all involved docs, ~8 bytes each —
+# 50M cells ~= 400 MB): pair count alone says nothing about row width.
+MAX_DRIVER_VERIFY_CELLS = 50_000_000
 
 
 def _verify_pairs_join(docs: ray.data.Dataset, cand_pairs: ray.data.Dataset,
@@ -335,6 +356,7 @@ def _verify_pairs_join(docs: ray.data.Dataset, cand_pairs: ray.data.Dataset,
     cand_pairs = cand_pairs.materialize()
     bound = MAX_DRIVER_VERIFY_PAIRS if max_driver_pairs is None \
         else max_driver_pairs
+    shs_map = None
     if cand_pairs.count() <= bound:
         pdf = cand_pairs.to_pandas()
         empty = pa.table({"a_id": pa.array([], type=pa.int64()),
@@ -345,19 +367,24 @@ def _verify_pairs_join(docs: ray.data.Dataset, cand_pairs: ray.data.Dataset,
         a = pdf["a_id"].to_numpy(dtype=np.int64)
         b = pdf["b_id"].to_numpy(dtype=np.int64)
         involved = np.unique(np.concatenate([a, b]))
-        inv_ref = ray.put(involved)
-
-        def keep(bt: pa.Table) -> pa.Table:
-            arr = ray.get(inv_ref)
-            ids = bt.column("doc_id").to_numpy()
-            pos = np.searchsorted(arr, ids)
-            pos[pos == len(arr)] = 0
-            return bt.filter(pa.array(arr[pos] == ids))
-
-        kept = _shingle_signatures(docs, n, pad) \
-            .map_batches(keep, batch_format="pyarrow").to_pandas()
-        shs_map = dict(zip(kept["doc_id"].to_numpy(dtype=np.int64),
-                           kept["shs"]))
+        # BYTE bound as well as the row bound: the involved docs' shingle
+        # sets land on the driver, and pair count says nothing about set
+        # width.  Stream the filtered scan and bail to the join plan if
+        # the total cell count exceeds the budget (the join plan never
+        # drivers a doc->shingles map).
+        shs_map, cells = {}, 0
+        for bt in _involved_filter(_shingle_signatures(docs, n, pad),
+                                   "doc_id", involved) \
+                .iter_batches(batch_format="pyarrow"):
+            kdf = bt.to_pandas()
+            for did, shs in zip(kdf["doc_id"].to_numpy(dtype=np.int64),
+                                kdf["shs"]):
+                shs_map[did] = shs
+                cells += len(shs)
+            if cells > MAX_DRIVER_VERIFY_CELLS:
+                shs_map = None     # too wide: fall through to the joins
+                break
+    if shs_map is not None:
         out = np.empty(len(pdf))
         for i in range(len(pdf)):
             sa = np.asarray(shs_map.get(a[i], ()), dtype=np.uint64)
@@ -565,7 +592,8 @@ def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
-                  bands: int = 4, max_bucket: int = 2000) -> ray.data.Dataset:
+                  bands: int = 4, max_bucket: int = 2000,
+                  max_driver_pairs: int | None = None) -> ray.data.Dataset:
     """SimHash near-dup pairs: banded exact-match blocking + popcount verify.
 
     The 64-bit signature splits into ``bands`` equal slices; by pigeonhole
@@ -619,7 +647,9 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
     # the bound, pull only the <= 2x|pairs| involved signatures via a
     # broadcast-membership scan and popcount-verify fully vectorized on
     # the driver; identical rows to the two-join plan (pinned by test).
-    if dd.count() <= MAX_DRIVER_VERIFY_PAIRS:
+    bound = MAX_DRIVER_VERIFY_PAIRS if max_driver_pairs is None \
+        else max_driver_pairs
+    if dd.count() <= bound:
         pdf = dd.to_pandas()
         empty = pa.table({"a_id": pa.array([], type=pa.int64()),
                           "b_id": pa.array([], type=pa.int64()),
@@ -629,16 +659,7 @@ def simhash_pairs(docs: ray.data.Dataset, max_hamming: int = 3,
         a = pdf["a_id"].to_numpy(dtype=np.int64)
         b = pdf["b_id"].to_numpy(dtype=np.int64)
         involved = np.unique(np.concatenate([a, b]))
-        inv_ref = ray.put(involved)
-
-        def keep(bt: pa.Table) -> pa.Table:
-            arr = ray.get(inv_ref)
-            ids = bt.column("doc_id").to_numpy()
-            pos = np.searchsorted(arr, ids)
-            pos[pos == len(arr)] = 0
-            return bt.filter(pa.array(arr[pos] == ids))
-
-        kept = sigs.map_batches(keep, batch_format="pyarrow").to_pandas()
+        kept = _involved_filter(sigs, "doc_id", involved).to_pandas()
         order = np.argsort(kept["doc_id"].to_numpy(dtype=np.int64))
         kid = kept["doc_id"].to_numpy(dtype=np.int64)[order]
         ksig = kept["simhash"].to_numpy().astype(np.uint64)[order]
@@ -722,7 +743,9 @@ def planted_neardup_embeddings(emb: ray.data.Dataset) -> ray.data.Dataset:
 def embedding_near_dup(emb: ray.data.Dataset, threshold: float = 0.95,
                        bands: int = 8, bits_per_band: int = 8,
                        max_bucket: int = 2000, dim: int = 64,
-                       seed: int = 11) -> ray.data.Dataset:
+                       seed: int = 11,
+                       max_driver_pairs: int | None = None
+                       ) -> ray.data.Dataset:
     """Embedding-cosine near-dup, banded (the minhash_lsh_pairs shape).
 
     ``bands`` independent random-hyperplane tables of ``bits_per_band`` bits
@@ -789,7 +812,10 @@ def embedding_near_dup(emb: ray.data.Dataset, threshold: float = 0.95,
     # membership scan and verify the exact cosine vectorized on the driver
     # — same per-row numpy expression as the join kernel, so bit-identical
     # (pinned by test); above the bound the two bucketed joins run.
-    if dd.count() <= MAX_DRIVER_VERIFY_PAIRS:
+    bound = MAX_DRIVER_VERIFY_PAIRS if max_driver_pairs is None \
+        else max_driver_pairs
+    if dd.count() <= bound and \
+            2 * dd.count() * dim <= MAX_DRIVER_VERIFY_CELLS:
         pdf = dd.to_pandas()
         empty = pa.table({"a_id": pa.array([], type=pa.int64()),
                           "b_id": pa.array([], type=pa.int64()),
@@ -799,20 +825,14 @@ def embedding_near_dup(emb: ray.data.Dataset, threshold: float = 0.95,
         a = pdf["a_id"].to_numpy(dtype=np.int64)
         b = pdf["b_id"].to_numpy(dtype=np.int64)
         involved = np.unique(np.concatenate([a, b]))
-        inv_ref = ray.put(involved)
-
-        def keep(bt: pa.Table) -> pa.Table:
-            arr = ray.get(inv_ref)
-            ids = bt.column("vec_id").to_numpy()
-            pos = np.searchsorted(arr, ids)
-            pos[pos == len(arr)] = 0
-            return bt.filter(pa.array(arr[pos] == ids))
-
-        kept = emb.map_batches(keep, batch_format="pyarrow").to_pandas()
-        order = np.argsort(kept["vec_id"].to_numpy(dtype=np.int64))
-        kid = kept["vec_id"].to_numpy(dtype=np.int64)[order]
-        kv = np.asarray(kept["embedding"].tolist(),
-                        dtype=np.float64)[order]
+        kbs = list(_involved_filter(emb, "vec_id", involved)
+                   .iter_batches(batch_format="pyarrow"))
+        if not kbs:          # defensive: pairs imply involved rows exist
+            return ray.data.from_arrow(empty)
+        kt = pa.concat_tables(kbs)
+        order = np.argsort(kt.column("vec_id").to_numpy())
+        kid = kt.column("vec_id").to_numpy()[order]
+        kv = list_column_matrix(kt.column("embedding"))[order]
         va = kv[np.searchsorted(kid, a)]
         vb = kv[np.searchsorted(kid, b)]
         cos = (va * vb).sum(1) / (np.linalg.norm(va, axis=1)
@@ -1222,8 +1242,12 @@ def substring_dup_stats(docs: ray.data.Dataset, w: int = 8,
             vals: list[str] = []
             for b in dup_grams.iter_batches(batch_format="pyarrow"):
                 vals.extend(b.column("gram").to_pylist())
-            dup_arr = np.sort(np.asarray(vals, dtype="U")) if vals else \
-                np.empty(0, dtype="U1")
+            # object (not 'U') dtype: a numpy U array is FIXED-width, so
+            # one long gram would inflate every slot (rows x longest x 4
+            # bytes); python-str searchsorted is slower but memory-sane,
+            # and the string path is the A/B-test flavor only
+            dup_arr = np.sort(np.asarray(vals, dtype=object)) if vals else \
+                np.empty(0, dtype=object)
         dup_ref = ray.put(dup_arr)
 
         def profile(batch: pa.Table) -> pa.Table:

@@ -87,7 +87,10 @@ _WORKER_STAGE_CACHE: dict = {}
 
 
 def _worker_stage(cls, **kw):
-    key = (cls.__name__, tuple(sorted(kw.items())))
+    # key by (module, qualname): two distinct classes sharing a bare name
+    # (e.g. the function-local KnnActor in both spatial.py and blocking.py)
+    # must never share a cached instance
+    key = (cls.__module__, cls.__qualname__, tuple(sorted(kw.items())))
     inst = _WORKER_STAGE_CACHE.get(key)
     if inst is None:
         inst = _WORKER_STAGE_CACHE[key] = cls(**kw)

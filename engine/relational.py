@@ -417,21 +417,20 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
             .groupby("__b").map_groups(bucket_sum, batch_format="pandas")
 
         def join_finish(b: pa.Table) -> pa.Table:
+            # rows here already passed the `member` pre-shuffle filter, so
+            # every key is present — the searchsorted is a pure lookup
             if "s" not in holder:
                 holder["s"] = ray.get(side_ref)
             okey, odate, oprio = holder["s"]
             key = b.column("l_orderkey").to_numpy()
             pos = np.searchsorted(okey, key)
-            pos_c = np.minimum(pos, max(len(okey) - 1, 0))
-            hit = (okey[pos_c] == key) if len(okey) else \
-                np.zeros(len(key), dtype=bool)
-            cents = b.column("cents").to_numpy()[hit]
-            pos_h = pos_c[hit]
             return pa.table({
-                "l_orderkey": pa.array(key[hit], type=pa.int64()),
-                "revenue": pa.array(cents.astype(np.float64) / 10000.0),
-                "o_date_us": pa.array(odate[pos_h], type=pa.int64()),
-                "o_orderpriority": pa.array(oprio[pos_h].tolist(),
+                "l_orderkey": pa.array(key, type=pa.int64()),
+                "revenue": pa.array(
+                    b.column("cents").to_numpy().astype(np.float64)
+                    / 10000.0),
+                "o_date_us": pa.array(odate[pos], type=pa.int64()),
+                "o_orderpriority": pa.array(oprio[pos].tolist(),
                                             type=pa.string()),
             })
 

@@ -441,9 +441,15 @@ def tfidf_topk(docs: ray.data.Dataset, k: int = 5,
     # (a doc's terms are all computed inside one call), zero joins or
     # shuffles after the df aggregate.  A larger vocabulary falls back to
     # the term-partitioned join plan below (no broadcast assumption).
-    if df.count() <= MAX_BROADCAST_VOCAB:
+    broadcast_ok = df.count() <= MAX_BROADCAST_VOCAB
+    if broadcast_ok:
         pdf = df.to_pandas()
         t_arr = np.asarray(pdf["term"].to_numpy(), dtype="U")
+        # numpy U arrays are FIXED-width (rows x longest term x 4 bytes):
+        # cap the broadcast by BYTES too, not just term count
+        if t_arr.nbytes > 256 * 1024 * 1024:
+            broadcast_ok = False
+    if broadcast_ok:
         order = np.argsort(t_arr, kind="stable")
         df_ref = ray.put((t_arr[order],
                           pdf["df"].to_numpy(dtype=np.int64)[order]))
@@ -457,8 +463,18 @@ def tfidf_topk(docs: ray.data.Dataset, k: int = 5,
             for d, t in zip(batch.column("doc_id").to_pylist(),
                             batch.column("text").to_pylist()):
                 toks, counts = np.unique(t.split(" "), return_counts=True)
-                pos = np.searchsorted(terms_s, toks)  # every term present
-                dfv = dfs_s[pos]
+                pos = np.searchsorted(terms_s, toks)
+                pos_c = np.minimum(pos, max(len(terms_s) - 1, 0))
+                # guard the "every term is in the df map" invariant: the
+                # vocab and scoring scans are two executions of the same
+                # deterministic pipeline, so a miss means upstream
+                # nondeterminism — fail loudly, never score a wrong df
+                if len(terms_s) == 0 or not (terms_s[pos_c] == toks).all():
+                    raise RuntimeError(
+                        "tfidf broadcast gate: token missing from the df "
+                        "map — upstream pipeline is nondeterministic "
+                        "between the vocabulary and scoring scans")
+                dfv = dfs_s[pos_c]
                 s = (counts.astype(np.int64) * n_docs).astype(np.float64) \
                     / dfv.astype(np.float64)
                 o = np.lexsort((toks, -s))[:k]        # (score desc, term asc)

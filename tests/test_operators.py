@@ -1426,12 +1426,7 @@ def test_simhash_driver_verify_equals_join_path(ray_session):
             .reset_index(drop=True)
 
     fast = norm(simhash_pairs(docs))
-    orig = D.MAX_DRIVER_VERIFY_PAIRS
-    D.MAX_DRIVER_VERIFY_PAIRS = 0
-    try:
-        join = norm(simhash_pairs(docs))
-    finally:
-        D.MAX_DRIVER_VERIFY_PAIRS = orig
+    join = norm(simhash_pairs(docs, max_driver_pairs=0))
     pd.testing.assert_frame_equal(fast, join)
     assert len(fast) > 0 and (fast.hamming <= 3).all()
 
@@ -1451,11 +1446,7 @@ def test_embedding_near_dup_driver_verify_equals_join(ray_session):
             .reset_index(drop=True)
 
     fast = norm(embedding_near_dup(emb, threshold=0.95))
-    orig = D.MAX_DRIVER_VERIFY_PAIRS
-    D.MAX_DRIVER_VERIFY_PAIRS = 0
-    try:
-        join = norm(embedding_near_dup(emb, threshold=0.95))
-    finally:
-        D.MAX_DRIVER_VERIFY_PAIRS = orig
+    join = norm(embedding_near_dup(emb, threshold=0.95,
+                                   max_driver_pairs=0))
     pd.testing.assert_frame_equal(fast, join)
     assert len(fast) > 0
